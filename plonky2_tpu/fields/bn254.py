@@ -1,0 +1,159 @@
+"""BN254 scalar-field arithmetic on TPU: 16x16-bit limbs, Montgomery domain.
+
+Elements are ``(..., 16)`` uint32 arrays of little-endian 16-bit limbs.  The
+hashing data path (Poseidon-BN254 Merkle trees) keeps everything in the
+Montgomery domain (R = 2^256); all constants and proof inputs are converted
+host-side, so the device never performs domain conversions.
+
+The Montgomery multiplication is a CIOS variant restructured for SIMD lanes:
+limb-column accumulators stay *redundant* (uint32 capacity, 16-bit positions)
+through all 16 outer iterations -- only column 0 is exact at each step, which
+is all that is needed to form the per-iteration Montgomery quotient digit.
+This removes the sequential inner carry chain entirely; one carry propagation
+runs at the end.  (The reference leans on gnark's native BN254 arithmetic:
+poseidon/bn254.go:39-45 builds on frontend.API mul/add.)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+P = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+NUM_LIMBS = 16
+LIMB_BITS = 16
+R = 1 << 256
+R_MOD_P = R % P
+R2_MOD_P = (R * R) % P
+# -p^-1 mod 2^16
+N0_INV = (-pow(P, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+
+_U32 = jnp.uint32
+_MASK = 0xFFFF
+
+P_LIMBS = [(P >> (LIMB_BITS * k)) & _MASK for k in range(NUM_LIMBS)]
+
+
+# ---------------------------------------------------------------------------
+# Host-side conversions (python ints / numpy)
+# ---------------------------------------------------------------------------
+
+def int_to_limbs(x):
+    """Python int -> list of 16 int limbs."""
+    x = int(x) % P
+    return [(x >> (LIMB_BITS * k)) & _MASK for k in range(NUM_LIMBS)]
+
+
+def limbs_to_int(limbs):
+    out = 0
+    for k in reversed(range(len(limbs))):
+        out = (out << LIMB_BITS) | int(limbs[k])
+    return out
+
+
+def int_to_mont_limbs(x):
+    """Python int -> Montgomery-domain limb list."""
+    return int_to_limbs((int(x) * R) % P)
+
+
+def from_int(x, shape=(), mont=True):
+    """Constant element as a (..., 16) uint32 array."""
+    limbs = int_to_mont_limbs(x) if mont else int_to_limbs(x)
+    arr = jnp.array(limbs, dtype=_U32)
+    return jnp.broadcast_to(arr, tuple(shape) + (NUM_LIMBS,))
+
+
+def zeros(shape=()):
+    return jnp.zeros(tuple(shape) + (NUM_LIMBS,), _U32)
+
+
+# ---------------------------------------------------------------------------
+# Device ops
+# ---------------------------------------------------------------------------
+
+def _carry_propagate(digits):
+    """Redundant uint32 columns -> clean 16-bit limbs (list), plus carry-out."""
+    out = []
+    carry = jnp.zeros(digits[0].shape, _U32)
+    for d in digits:
+        t = d + carry
+        out.append(t & _MASK)
+        carry = t >> LIMB_BITS
+    return out, carry
+
+
+def _cond_sub_p(limbs):
+    """limbs (< 2p, 16 clean limbs) -> canonical < p; one conditional subtract."""
+    diff = []
+    borrow = jnp.zeros(limbs[0].shape, _U32)
+    for k in range(NUM_LIMBS):
+        t = limbs[k] - _U32(P_LIMBS[k]) - borrow  # in uint32, may wrap
+        # borrow iff limbs[k] < P_LIMBS[k] + borrow (all < 2^17)
+        borrow = (limbs[k] < (_U32(P_LIMBS[k]) + borrow)).astype(_U32)
+        diff.append(t & _MASK)
+    ge = borrow == 0  # no final borrow => limbs >= p
+    return [jnp.where(ge, d, o) for d, o in zip(diff, limbs)]
+
+
+def _stack(limbs):
+    return jnp.stack(limbs, axis=-1)
+
+
+def mont_mul(a, b):
+    """Montgomery product a*b*R^-1 mod p; canonical output.
+
+    a, b: (..., 16) uint32 clean-limb arrays (values < p).
+    """
+    t = [jnp.zeros(a.shape[:-1], _U32) for _ in range(NUM_LIMBS + 1)]
+    b_limbs = [b[..., j] for j in range(NUM_LIMBS)]
+    for i in range(NUM_LIMBS):
+        ai = a[..., i]
+        # t += ai * B   (redundant column accumulation)
+        for j in range(NUM_LIMBS):
+            p_ij = ai * b_limbs[j]
+            t[j] = t[j] + (p_ij & _MASK)
+            t[j + 1] = t[j + 1] + (p_ij >> LIMB_BITS)
+        # quotient digit from exact low 16 bits of column 0
+        m = (t[0] * _U32(N0_INV)) & _MASK
+        # t += m * N
+        for j in range(NUM_LIMBS):
+            p_mj = m * _U32(P_LIMBS[j])
+            t[j] = t[j] + (p_mj & _MASK)
+            t[j + 1] = t[j + 1] + (p_mj >> LIMB_BITS)
+        # low column is now divisible by 2^16; shift down
+        carry0 = t[0] >> LIMB_BITS
+        t = t[1:] + [jnp.zeros(a.shape[:-1], _U32)]
+        t[0] = t[0] + carry0
+    clean, carry = _carry_propagate(t[:NUM_LIMBS + 1])
+    # result < 2p < 2^255: top digit and carry fold into limb 15? value fits
+    # 256 bits, so clean[16] and carry are zero after propagation of 17 cols.
+    limbs = clean[:NUM_LIMBS]
+    # fold clean[16] (should be 0; kept for safety in add paths)
+    return _stack(_cond_sub_p(limbs))
+
+
+def mont_sqr(a):
+    return mont_mul(a, a)
+
+
+def add(a, b):
+    """Modular addition (works in either domain); canonical inputs."""
+    digits = [a[..., k] + b[..., k] for k in range(NUM_LIMBS)]
+    clean, carry = _carry_propagate(digits)
+    # a+b < 2p < 2^255 so carry == 0
+    return _stack(_cond_sub_p(clean))
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def select(mask, a, b):
+    return jnp.where(mask[..., None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# Host-side reference (for tests / precompute)
+# ---------------------------------------------------------------------------
+
+def host_mont_mul(x_mont_int, y_mont_int):
+    return (x_mont_int * y_mont_int * pow(R, -1, P)) % P

@@ -1,0 +1,389 @@
+"""FRI opening-proof verification, batched over (proof, query-round).
+
+Reference: fri/fri.go.  All assertions become verdict-bit conjunctions so an
+invalid proof yields False without aborting the batch.  Layout:
+
+- Every per-query quantity is shaped (B, Q): B proofs x Q query rounds, all
+  verified in parallel (the reference loops rounds sequentially,
+  fri/fri.go:533-547).
+- Merkle leaf hashing runs as one scan over absorb steps with (B, Q, 4)
+  lanes; sibling chains as one scan over tree depth (reference
+  fri/fri.go:97-157 walks them sequentially per round).
+- Digest comparisons happen in the BN254 Montgomery domain (bijective), so
+  no conversions appear on-device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import goldilocks as gl
+from ..fields import goldilocks_ext as qe
+from ..fields import bn254
+from ..hash import poseidon_bn254 as pb
+from ..proof.serde import leaf_layout
+
+
+def _absorb_slot_masks(n_elems, n_chunks):
+    """Slot overwrite masks for HashNoPad of n_elems GL elements."""
+    mask = np.zeros((n_chunks, 3), dtype=bool)
+    for t in range(n_chunks):
+        rem = n_elems - 9 * t
+        for s in range(3):
+            mask[t, s] = rem > 3 * s
+    return mask
+
+
+def _bits_to_index(bits):
+    """Little-endian 0/1 uint32 arrays -> uint32 index."""
+    idx = jnp.zeros(bits[0].shape, jnp.uint32)
+    for i, b in enumerate(bits):
+        idx = idx | (b << i)
+    return idx
+
+
+def exp_from_bits_const_base(base, bits):
+    """base^(sum bits_i 2^i) for python-int base, traced bits
+    (reference fri/fri.go:159-185)."""
+    shape = bits[0].shape
+    product = gl.ones(shape)
+    pw = base % gl.P
+    for b in bits:
+        term = gl.mul_const(product, pw)
+        product = gl.select(b.astype(bool), term, product)
+        pw = (pw * pw) % gl.P
+    return product
+
+
+def _merkle_chain(digest, siblings, index_bits, depth):
+    """Walk a Merkle path: digest (..., 16) mont; siblings (..., depth, 16);
+    index_bits: list of (...,) uint32 bits (bit i = level i).
+    Reference fri/fri.go:104-116."""
+    sibs = jnp.moveaxis(siblings, -2, 0)            # (depth, ..., 16)
+    bits = jnp.stack(index_bits[:depth])            # (depth, ...)
+
+    def level(cur, xs):
+        sib, bit = xs
+        m = bit.astype(bool)[..., None]
+        left = jnp.where(m, sib, cur)
+        right = jnp.where(m, cur, sib)
+        z = jnp.zeros_like(cur)
+        state = jnp.stack([z, z, left, right], axis=-2)
+        return pb.permute(state)[..., 0, :], None
+
+    out, _ = jax.lax.scan(level, digest, (sibs, bits))
+    return out
+
+
+def _cap_lookup(cap, cap_index):
+    """cap: (B, cap_size, 16); cap_index: (B, ...) -> (B, ..., 16)."""
+    B = cap.shape[0]
+    flat_idx = cap_index.reshape(B, -1).astype(jnp.int32)     # (B, K)
+    picked = cap[jnp.arange(B)[:, None], flat_idx]            # (B, K, 16)
+    return picked.reshape(cap_index.shape + (16,))
+
+
+def _hash_leaves_scan(packed, slot_mask, active):
+    """Batched HashNoPad over precomputed absorb blocks.
+
+    packed: (B, Q, G, T, 3, 16) mont blocks; slot_mask: (G, T, 3) bool;
+    active: (G, T) bool.  Returns (B, Q, G, 16) digests.
+    """
+    B, Q, G, T = packed.shape[:4]
+    state = bn254.zeros((B, Q, G, 4))
+    blocks = jnp.moveaxis(packed, 3, 0)             # (T, B, Q, G, 3, 16)
+    smask = jnp.moveaxis(jnp.asarray(slot_mask), 1, 0)   # (T, G, 3)
+    act = jnp.moveaxis(jnp.asarray(active), 1, 0)        # (T, G)
+
+    def step(st, xs):
+        block, sm, ac = xs
+        sel = sm[None, None, :, :, None]            # (1,1,G,3,1)
+        rest = jnp.where(sel, block, st[..., 1:, :])
+        st_in = jnp.concatenate([st[..., :1, :], rest], axis=-2)
+        permuted = pb.permute(st_in)
+        st_out = jnp.where(ac[None, None, :, None, None], permuted, st)
+        return st_out, None
+
+    state, _ = jax.lax.scan(step, state, (blocks, smask, act))
+    return state[..., 0, :]
+
+
+def _alpha_power_list(alpha, n):
+    """[alpha^0 .. alpha^(n-1)] as stacked QE arrays of shape (B, n)."""
+    powers = [qe.ones(qe.shape_of(alpha))]
+    for _ in range(n - 1):
+        powers.append(qe.mul(powers[-1], alpha))
+    c0 = (jnp.stack([p[0][0] for p in powers], -1),
+          jnp.stack([p[0][1] for p in powers], -1))
+    c1 = (jnp.stack([p[1][0] for p in powers], -1),
+          jnp.stack([p[1][1] for p in powers], -1))
+    return c0, c1  # each a GL pair of shape (B, n)
+
+
+def _dot_base_with_alpha(evals, apow_c0, apow_c1):
+    """sum_i evals_i * alpha^i for base-field evals (B, Q, L) GL pair and
+    alpha powers (B, L).  Returns QE of shape (B, Q)."""
+    e = evals
+    p0 = (apow_c0[0][:, None, :], apow_c0[1][:, None, :])
+    p1 = (apow_c1[0][:, None, :], apow_c1[1][:, None, :])
+    d0 = gl.mul_digits(e, p0)
+    d0 = [jnp.sum(x, axis=-1) for x in d0]
+    d1 = gl.mul_digits(e, p1)
+    d1 = [jnp.sum(x, axis=-1) for x in d1]
+    return (gl.reduce_digits(d0), gl.reduce_digits(d1))
+
+
+def verify_fri(spec, dev, challenges, verdict):
+    """Verify the FRI opening proof (reference fri/fri.go:500-548).
+
+    dev: device proof dict; challenges: dict with zeta, fri_alpha, fri_betas,
+    pow_response, query_indices (GL/QE values with batch dim B).
+    Returns updated verdict (B,) bool.
+    """
+    B = dev["pow_witness"][0].shape[0]
+    Q = spec.num_query_rounds
+    lde_bits = spec.lde_bits
+
+    # --- proof of work: powResponse must fit in 64 - pow_bits bits
+    # (reference fri/fri.go:75-80)
+    pr = challenges["pow_response"]
+    max_bits = 64 - spec.pow_bits
+    if max_bits < 32:
+        ok = (pr[1] == 0) & (pr[0] < jnp.uint32(1 << max_bits))
+    elif max_bits == 32:
+        ok = pr[1] == 0
+    else:
+        ok = pr[1] < jnp.uint32(1 << (max_bits - 32))
+    verdict = verdict & ok
+
+    # --- precomputed reduced openings (reference fri/fri.go:82-95)
+    alpha = challenges["fri_alpha"]
+    batch0_vals = []
+    for key in ["op_constants", "op_plonk_sigmas", "op_wires", "op_plonk_zs",
+                "op_partial_products", "op_quotient_polys"]:
+        arr = dev[key]  # QE pair-of-pairs with shape (B, n)
+        n = arr[0][0].shape[-1]
+        for i in range(n):
+            batch0_vals.append(((arr[0][0][:, i], arr[0][1][:, i]),
+                                (arr[1][0][:, i], arr[1][1][:, i])))
+    batch1_vals = []
+    arr = dev["op_plonk_zs_next"]
+    for i in range(arr[0][0].shape[-1]):
+        batch1_vals.append(((arr[0][0][:, i], arr[0][1][:, i]),
+                            (arr[1][0][:, i], arr[1][1][:, i])))
+    pre0 = qe.reduce_with_powers(batch0_vals, alpha)  # (B,)
+    pre1 = qe.reduce_with_powers(batch1_vals, alpha)
+
+    # --- per-round index bits
+    x_index = challenges["query_indices"]           # GL pair (B, Q)
+    bits = gl.to_bits(x_index, 64)[:lde_bits]
+    cap_bits = bits[lde_bits - spec.cap_height:]
+    cap_index = _bits_to_index(cap_bits)            # (B, Q)
+
+    # --- initial tree Merkle proofs (reference fri/fri.go:146-157)
+    layout = leaf_layout(spec)
+    leaf_digests = _hash_leaves_scan(dev["init_leaf_packed"],
+                                     layout.slot_mask, layout.active)
+    bits4 = [jnp.broadcast_to(b[..., None], b.shape + (4,)) for b in bits]
+    roots = _merkle_chain(leaf_digests, dev["init_siblings"], bits4,
+                          spec.initial_tree_depth)   # (B, Q, 4, 16)
+    caps = jnp.stack([dev["const_sigmas_cap"], dev["wires_cap"],
+                      dev["zs_pp_cap"], dev["quotient_cap"]], axis=1)
+    # expected cap entries (B, Q, 4, 16)
+    for o in range(4):
+        expected = _cap_lookup(caps[:, o], cap_index)
+        verdict = verdict & jnp.all(
+            bn254.eq(roots[..., o, :], expected), axis=-1)
+
+    # --- subgroup_x (reference fri/fri.go:187-206)
+    root = gl.primitive_root_of_unity(lde_bits)
+    # subgroup_x = GENERATOR * root^bitrev(idx): bit i contributes 2^(n-1-i)
+    prod = gl.ones((B, Q))
+    pw = root
+    for i in reversed(range(lde_bits)):
+        term = gl.mul_const(prod, pw)
+        prod = gl.select(bits[i].astype(bool), term, prod)
+        pw = (pw * pw) % gl.P
+    subgroup_x = gl.mul_const(prod, gl.MULTIPLICATIVE_GROUP_GENERATOR)
+
+    # --- combine initial (reference fri/fri.go:208-251)
+    zeta = challenges["zeta"]
+    n0 = len(batch0_vals)
+    apow0 = _alpha_power_list(alpha, n0)
+    evals0 = jnp.concatenate([dev[f"init_leaves_{o}"][0] for o in range(4)],
+                             axis=-1), jnp.concatenate(
+        [dev[f"init_leaves_{o}"][1] for o in range(4)], axis=-1)  # (B,Q,L)
+    re0 = _dot_base_with_alpha(evals0, apow0[0], apow0[1])
+    sx_qe = qe.from_base(subgroup_x)
+
+    def bcast_qe(x):
+        return ((x[0][0][:, None], x[0][1][:, None]),
+                (x[1][0][:, None], x[1][1][:, None]))
+
+    num0 = qe.sub(re0, bcast_qe(pre0))
+    den0 = qe.sub(sx_qe, bcast_qe(zeta))
+    verdict = verdict & jnp.all(~qe.is_zero(den0), axis=-1)
+    total = qe.mul(num0, qe.inv(den0))
+
+    # batch 1: Zs at g*zeta (first num_challenges leaf-2 elements)
+    g_deg = gl.primitive_root_of_unity(spec.degree_bits)
+    zeta_next = (gl.mul_const(zeta[0], g_deg), gl.mul_const(zeta[1], g_deg))
+    nb1 = spec.num_challenges
+    evals1 = (dev["init_leaves_2"][0][..., :nb1],
+              dev["init_leaves_2"][1][..., :nb1])
+    apow1 = _alpha_power_list(alpha, nb1)
+    re1 = _dot_base_with_alpha(evals1, apow1[0], apow1[1])
+    num1 = qe.sub(re1, bcast_qe(pre1))
+    den1 = qe.sub(sx_qe, bcast_qe(zeta_next))
+    verdict = verdict & jnp.all(~qe.is_zero(den1), axis=-1)
+    # sum = alpha^|batch1| * sum + num/den  (reference fri/fri.go:240-247)
+    a_n = alpha
+    for _ in range(nb1 - 1):
+        a_n = qe.mul(a_n, alpha)
+    total = qe.add(qe.mul(bcast_qe(a_n), total), qe.mul(num1, qe.inv(den1)))
+    old_eval = total
+
+    # --- reduction steps (reference fri/fri.go:421-491)
+    for j, arity_bits in enumerate(spec.reduction_arity_bits):
+        arity = 1 << arity_bits
+        within_bits = bits[:arity_bits]
+        coset_bits = bits[arity_bits:]
+        within_idx = _bits_to_index(within_bits)    # (B, Q)
+
+        evals = dev[f"step{j}_evals"]               # QE pair (B, Q, arity)
+        # selected eval at within_idx must equal old_eval
+        def gather_e(comp):
+            return jnp.take_along_axis(comp, within_idx[..., None].astype(jnp.int32),
+                                       axis=-1)[..., 0]
+        sel = ((gather_e(evals[0][0]), gather_e(evals[0][1])),
+               (gather_e(evals[1][0]), gather_e(evals[1][1])))
+        verdict = verdict & jnp.all(qe.eq(sel, old_eval), axis=-1)
+
+        # computeEvaluation (reference fri/fri.go:314-384)
+        old_eval = _compute_evaluation(
+            spec, subgroup_x, within_bits, arity_bits, evals,
+            challenges["fri_betas"][j])
+        # verdict: barycentric denominators nonzero handled inside? weights
+        # of distinct points are nonzero by construction.
+
+        # Merkle check of step evals against commit cap j
+        depth = spec.step_tree_depths[j]
+        n_chunks = dev[f"step{j}_leaf_packed"].shape[2]
+        smask = _absorb_slot_masks(arity * 2, n_chunks)
+        leaf_digest = _hash_leaves_scan(
+            dev[f"step{j}_leaf_packed"][:, :, None],
+            smask[None], np.ones((1, n_chunks), bool))[..., 0, :]
+        chain_bits = [b for b in coset_bits]
+        root_j = _merkle_chain(leaf_digest, dev[f"step{j}_siblings"],
+                               chain_bits, depth)
+        expected = _cap_lookup(dev["commit_caps"][:, j], cap_index)
+        verdict = verdict & jnp.all(bn254.eq(root_j, expected), axis=-1)
+
+        # x <- x^arity
+        for _ in range(arity_bits):
+            subgroup_x = gl.mul(subgroup_x, subgroup_x)
+        bits = coset_bits
+
+    # --- final polynomial check (reference fri/fri.go:253-259, 493-497)
+    sx_qe = qe.from_base(subgroup_x)
+    fp = dev["final_poly"]                           # QE pair (B, F)
+    acc = qe.zeros((B, Q))
+    for i in reversed(range(fp[0][0].shape[-1])):
+        coeff = bcast_qe(((fp[0][0][:, i], fp[0][1][:, i]),
+                          (fp[1][0][:, i], fp[1][1][:, i])))
+        acc = qe.mul_add(acc, sx_qe, coeff)
+    verdict = verdict & jnp.all(qe.eq(old_eval, acc), axis=-1)
+    return verdict
+
+
+def _compute_evaluation(spec, x, within_bits, arity_bits, evals, beta):
+    """Barycentric interpolation of the coset evals at beta
+    (reference fri/fri.go:261-384)."""
+    arity = 1 << arity_bits
+    g = gl.primitive_root_of_unity(arity_bits)
+    g_inv = pow(g, arity - 1, gl.P)
+
+    # bit-reversed reorder of evals (static permutation)
+    def bitrev(i):
+        return int(f"{i:0{arity_bits}b}"[::-1], 2)
+
+    perm = [0] * arity
+    for i in range(arity):
+        perm[bitrev(i)] = i
+    y_points = []
+    for i in range(arity):
+        src = perm[i]
+        y_points.append(((evals[0][0][..., src], evals[0][1][..., src]),
+                         (evals[1][0][..., src], evals[1][1][..., src])))
+
+    # cosetStart = x * gInv^bitrev(within_idx)
+    start = gl.ones(within_bits[0].shape)
+    pw = g_inv
+    for i in reversed(range(arity_bits)):
+        term = gl.mul_const(start, pw)
+        start = gl.select(within_bits[i].astype(bool), term, start)
+        pw = (pw * pw) % gl.P
+    coset_start = gl.mul(start, x)
+
+    x_points = [qe.from_base(coset_start)]
+    for _ in range(arity - 1):
+        x_points.append(qe.scalar_mul_const(x_points[-1], g))
+
+    # barycentric weights w_i = 1 / prod_{j != i} (x_i - x_j)
+    weights = []
+    for i in range(arity):
+        acc = qe.ones(qe.shape_of(x_points[i]))
+        for j in range(arity):
+            if i != j:
+                acc = qe.mul(acc, qe.sub(x_points[i], x_points[j]))
+        weights.append(acc)
+    # batch the inversions by stacking
+    w_st = ((jnp.stack([w[0][0] for w in weights], -1),
+             jnp.stack([w[0][1] for w in weights], -1)),
+            (jnp.stack([w[1][0] for w in weights], -1),
+             jnp.stack([w[1][1] for w in weights], -1)))
+    w_inv = qe.inv(w_st)
+
+    beta_b = ((beta[0][0][:, None], beta[0][1][:, None]),
+              (beta[1][0][:, None], beta[1][1][:, None]))
+
+    # interpolate at beta (reference fri/fri.go:261-312)
+    x_st = ((jnp.stack([p[0][0] for p in x_points], -1),
+             jnp.stack([p[0][1] for p in x_points], -1)),
+            (jnp.stack([p[1][0] for p in x_points], -1),
+             jnp.stack([p[1][1] for p in x_points], -1)))
+    y_st = ((jnp.stack([p[0][0] for p in y_points], -1),
+             jnp.stack([p[0][1] for p in y_points], -1)),
+            (jnp.stack([p[1][0] for p in y_points], -1),
+             jnp.stack([p[1][1] for p in y_points], -1)))
+
+    diff = qe.sub(beta_b, x_st)                     # (B, Q, arity)
+    diff_inv = qe.inv(diff)
+    any_zero = qe.is_zero(diff)                     # beta == x_i ?
+
+    # l_x = prod (beta - x_i)
+    l_x = None
+    for i in range(arity):
+        d = ((diff[0][0][..., i], diff[0][1][..., i]),
+             (diff[1][0][..., i], diff[1][1][..., i]))
+        l_x = d if l_x is None else qe.mul(l_x, d)
+
+    quot = qe.mul(w_inv, diff_inv)
+    terms = qe.mul(y_st, quot)
+    ssum = None
+    for i in range(arity):
+        t = ((terms[0][0][..., i], terms[0][1][..., i]),
+             (terms[1][0][..., i], terms[1][1][..., i]))
+        ssum = t if ssum is None else qe.add(ssum, t)
+    interpolation = qe.mul(l_x, ssum)
+
+    # fallback when beta coincides with a coset point
+    hit = jnp.any(any_zero, axis=-1)
+    lookup_val = qe.zeros(hit.shape)
+    for i in range(arity):
+        yi = ((y_st[0][0][..., i], y_st[0][1][..., i]),
+              (y_st[1][0][..., i], y_st[1][1][..., i]))
+        lookup_val = qe.select(any_zero[..., i], yi, lookup_val)
+    return qe.select(hit, lookup_val, interpolation)
