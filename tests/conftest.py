@@ -6,7 +6,8 @@ tests use the 8 virtual devices.  Must set env vars before jax imports.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the sandbox presets JAX_PLATFORMS=axon
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_p2tpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
