@@ -98,37 +98,43 @@ def _stack(limbs):
     return jnp.stack(limbs, axis=-1)
 
 
+import numpy as _np
+
+# numpy (not jnp) so closing over it inside traced scopes never leaks tracers
+_P_LIMBS_NP = _np.array(P_LIMBS, dtype=_np.uint32)
+
+
 def mont_mul(a, b):
     """Montgomery product a*b*R^-1 mod p; canonical output.
 
-    a, b: (..., 16) uint32 clean-limb arrays (values < p).
+    a, b: (..., 16) uint32 clean-limb arrays (values < p).  The limb axis is
+    processed as one vector lane dimension: each of the 16 CIOS iterations is
+    ~10 whole-array ops (column accumulators stay redundant in uint32; only
+    column 0 -- exact at each step -- feeds the Montgomery quotient digit, so
+    no inner carry chain exists).
     """
-    t = [jnp.zeros(a.shape[:-1], _U32) for _ in range(NUM_LIMBS + 1)]
-    b_limbs = [b[..., j] for j in range(NUM_LIMBS)]
+    a, b = jnp.broadcast_arrays(a, b)
+    shape = a.shape[:-1]
+    p_arr = _P_LIMBS_NP
+    t = jnp.zeros(shape + (NUM_LIMBS + 1,), _U32)
     for i in range(NUM_LIMBS):
-        ai = a[..., i]
-        # t += ai * B   (redundant column accumulation)
-        for j in range(NUM_LIMBS):
-            p_ij = ai * b_limbs[j]
-            t[j] = t[j] + (p_ij & _MASK)
-            t[j + 1] = t[j + 1] + (p_ij >> LIMB_BITS)
+        ai = a[..., i:i + 1]
+        prod = ai * b  # (..., 16), each < 2^32, exact
+        t = t.at[..., :NUM_LIMBS].add(prod & _MASK)
+        t = t.at[..., 1:].add(prod >> LIMB_BITS)
         # quotient digit from exact low 16 bits of column 0
-        m = (t[0] * _U32(N0_INV)) & _MASK
-        # t += m * N
-        for j in range(NUM_LIMBS):
-            p_mj = m * _U32(P_LIMBS[j])
-            t[j] = t[j] + (p_mj & _MASK)
-            t[j + 1] = t[j + 1] + (p_mj >> LIMB_BITS)
+        m = (t[..., 0:1] * _U32(N0_INV)) & _MASK
+        q = m * p_arr  # (..., 16)
+        t = t.at[..., :NUM_LIMBS].add(q & _MASK)
+        t = t.at[..., 1:].add(q >> LIMB_BITS)
         # low column is now divisible by 2^16; shift down
-        carry0 = t[0] >> LIMB_BITS
-        t = t[1:] + [jnp.zeros(a.shape[:-1], _U32)]
-        t[0] = t[0] + carry0
-    clean, carry = _carry_propagate(t[:NUM_LIMBS + 1])
-    # result < 2p < 2^255: top digit and carry fold into limb 15? value fits
-    # 256 bits, so clean[16] and carry are zero after propagation of 17 cols.
-    limbs = clean[:NUM_LIMBS]
-    # fold clean[16] (should be 0; kept for safety in add paths)
-    return _stack(_cond_sub_p(limbs))
+        carry0 = t[..., 0] >> LIMB_BITS
+        t = jnp.concatenate(
+            [t[..., 1:], jnp.zeros(shape + (1,), _U32)], axis=-1)
+        t = t.at[..., 0].add(carry0)
+    clean, _ = _carry_propagate([t[..., k] for k in range(NUM_LIMBS + 1)])
+    # result < 2p < 2^256 so column 16 and the final carry are zero.
+    return _stack(_cond_sub_p(clean[:NUM_LIMBS]))
 
 
 def mont_sqr(a):

@@ -328,10 +328,37 @@ def pow_const(a, e):
     return result
 
 
+def _nsquare(a, n):
+    """a^(2^n) via a scanned squaring run (compact graph, n sequential)."""
+    import jax
+
+    def body(x, _):
+        return mul(x, x), None
+
+    out, _ = jax.lax.scan(body, a, None, length=n)
+    return out
+
+
 def inv(a):
     """a^(p-2); returns 0 for input 0 (matches gnark-crypto Inverse hint
-    semantics used at reference goldilocks/base.go:316-336)."""
-    return pow_const(a, P - 2)
+    semantics used at reference goldilocks/base.go:316-336).
+
+    Addition chain: p-2 = (2^32-2)*2^32 + (2^32-1), built from x^(2^k-1)
+    ladders -- ~63 squarings + 10 multiplies, with squaring runs as scans so
+    the traced graph stays small at every inversion call site.
+    """
+    ones1 = a
+    ones2 = mul(_nsquare(ones1, 1), ones1)     # x^(2^2-1)
+    ones4 = mul(_nsquare(ones2, 2), ones2)     # x^(2^4-1)
+    ones8 = mul(_nsquare(ones4, 4), ones4)     # x^(2^8-1)
+    ones16 = mul(_nsquare(ones8, 8), ones8)    # x^(2^16-1)
+    ones24 = mul(_nsquare(ones16, 8), ones8)   # x^(2^24-1)
+    ones28 = mul(_nsquare(ones24, 4), ones4)   # x^(2^28-1)
+    ones30 = mul(_nsquare(ones28, 2), ones2)   # x^(2^30-1)
+    ones31 = mul(_nsquare(ones30, 1), ones1)   # x^(2^31-1)
+    u = _nsquare(ones31, 1)                    # x^(2^32-2)
+    v = mul(u, a)                              # x^(2^32-1)
+    return mul(_nsquare(u, 32), v)             # x^((2^32-2)*2^32 + 2^32-1)
 
 
 # ---------------------------------------------------------------------------

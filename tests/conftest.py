@@ -7,10 +7,21 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the sandbox presets JAX_PLATFORMS=axon
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_p2tpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# NOTE: this image's sitecustomize.py imports jax at interpreter startup (to
+# register the axon TPU plugin), so the env vars above are too late for jax's
+# config defaults -- everything must go through jax.config.update, before any
+# backend is initialized.  Without the platform override, tests would compile
+# over the remote axon tunnel (minutes per compile).
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+# NOTE: do NOT enable the persistent compilation cache for CPU test runs.
+# XLA:CPU AOT cache entries on this image record target-machine features
+# (+prefer-no-scatter/+prefer-no-gather) that the loader rejects against the
+# detected host features, and the mismatched executable hangs at dispatch.
