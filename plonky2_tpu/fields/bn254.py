@@ -108,30 +108,38 @@ def mont_mul(a, b):
     """Montgomery product a*b*R^-1 mod p; canonical output.
 
     a, b: (..., 16) uint32 clean-limb arrays (values < p).  The limb axis is
-    processed as one vector lane dimension: each of the 16 CIOS iterations is
-    ~10 whole-array ops (column accumulators stay redundant in uint32; only
-    column 0 -- exact at each step -- feeds the Montgomery quotient digit, so
-    no inner carry chain exists).
+    one vector lane dimension: each CIOS iteration is ~10 whole-array ops
+    (column accumulators stay redundant in uint32; only column 0 -- exact at
+    each step -- feeds the Montgomery quotient digit, so no inner carry chain
+    exists).  The 16 outer iterations run under `lax.scan` so every call site
+    contributes a single small body to the traced graph: an unrolled CIOS
+    costs XLA ~2s of compile time PER CALL SITE, which made whole-verifier
+    compiles take tens of minutes.
     """
+    import jax
+
     a, b = jnp.broadcast_arrays(a, b)
     shape = a.shape[:-1]
+    ai_seq = jnp.moveaxis(a, -1, 0)  # (16, ...)
+    zero1 = jnp.zeros(shape + (1,), _U32)
     p_arr = _P_LIMBS_NP
-    t = jnp.zeros(shape + (NUM_LIMBS + 1,), _U32)
-    for i in range(NUM_LIMBS):
-        ai = a[..., i:i + 1]
-        prod = ai * b  # (..., 16), each < 2^32, exact
-        t = t.at[..., :NUM_LIMBS].add(prod & _MASK)
-        t = t.at[..., 1:].add(prod >> LIMB_BITS)
+
+    def step(t, ai):
+        prod = ai[..., None] * b  # (..., 16), each < 2^32, exact
+        t = (t + jnp.concatenate([prod & _MASK, zero1], -1)
+             + jnp.concatenate([zero1, prod >> LIMB_BITS], -1))
         # quotient digit from exact low 16 bits of column 0
         m = (t[..., 0:1] * _U32(N0_INV)) & _MASK
         q = m * p_arr  # (..., 16)
-        t = t.at[..., :NUM_LIMBS].add(q & _MASK)
-        t = t.at[..., 1:].add(q >> LIMB_BITS)
+        t = (t + jnp.concatenate([q & _MASK, zero1], -1)
+             + jnp.concatenate([zero1, q >> LIMB_BITS], -1))
         # low column is now divisible by 2^16; shift down
-        carry0 = t[..., 0] >> LIMB_BITS
-        t = jnp.concatenate(
-            [t[..., 1:], jnp.zeros(shape + (1,), _U32)], axis=-1)
-        t = t.at[..., 0].add(carry0)
+        carry0 = t[..., 0:1] >> LIMB_BITS
+        t = jnp.concatenate([t[..., 1:2] + carry0, t[..., 2:], zero1], -1)
+        return t, None
+
+    t, _ = jax.lax.scan(step, jnp.zeros(shape + (NUM_LIMBS + 1,), _U32),
+                        ai_seq)
     clean, _ = _carry_propagate([t[..., k] for k in range(NUM_LIMBS + 1)])
     # result < 2p < 2^256 so column 16 and the final carry are zero.
     return _stack(_cond_sub_p(clean[:NUM_LIMBS]))

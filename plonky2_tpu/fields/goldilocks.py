@@ -362,6 +362,105 @@ def inv(a):
 
 
 # ---------------------------------------------------------------------------
+# Stacked-axis (vector) helpers
+# ---------------------------------------------------------------------------
+
+def stack(values, axis=-1):
+    """List of GL values -> GL array with a new stacked axis."""
+    return (jnp.stack([v[0] for v in values], axis=axis),
+            jnp.stack([v[1] for v in values], axis=axis))
+
+
+def concat(arrs, axis=-1):
+    return (jnp.concatenate([a[0] for a in arrs], axis=axis),
+            jnp.concatenate([a[1] for a in arrs], axis=axis))
+
+
+def index(a, idx):
+    """Apply the same (numpy-style) index to both limb planes."""
+    return (a[0][idx], a[1][idx])
+
+
+def reshape(a, shape):
+    return (a[0].reshape(shape), a[1].reshape(shape))
+
+
+def broadcast_to(a, shape):
+    return (jnp.broadcast_to(a[0], shape), jnp.broadcast_to(a[1], shape))
+
+
+def const_array(values):
+    """List/array of python ints -> constant GL array (numpy-backed)."""
+    import numpy as np
+    arr = np.asarray([[int(v) % P for v in row] for row in values]
+                     if values and isinstance(values[0], (list, tuple))
+                     else [int(v) % P for v in values], dtype=np.uint64)
+    return (jnp.asarray((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((arr >> np.uint64(32)).astype(np.uint32)))
+
+
+def tree_sum(x, axis=-1):
+    """Sum a jnp array along an axis via log-depth pairwise adds.
+
+    jnp.sum lowers to an XLA reduce op, which XLA:CPU compiles
+    pathologically slowly (minutes) for integer operands produced by fused
+    expressions; explicit adds compile instantly and fuse equally well on
+    TPU for the small axes used here."""
+    if axis < 0:
+        axis += x.ndim
+    n = x.shape[axis]
+    if n == 0:
+        return jnp.zeros(x.shape[:axis] + x.shape[axis + 1:], x.dtype)
+    while n > 1:
+        half = n // 2
+        lo = jax_slice(x, axis, 0, half)
+        hi = jax_slice(x, axis, half, 2 * half)
+        s = lo + hi
+        if n % 2:
+            s = jnp.concatenate([s, jax_slice(x, axis, n - 1, n)], axis=axis)
+            n = half + 1
+        else:
+            n = half
+        x = s
+    return jnp.squeeze(x, axis=axis)
+
+
+def jax_slice(x, axis, start, stop):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, stop)
+    return x[tuple(idx)]
+
+
+def sum_digits_axis(digits, axis):
+    """Digit-wise sum of a digit accumulator along an array axis."""
+    return [tree_sum(d, axis) for d in digits]
+
+
+def sum_axis(a, axis=-1):
+    """Modular sum of canonical GL array along an axis (lazy digits).
+
+    Safe for up to ~2^13 terms (digit capacity)."""
+    d = [tree_sum(a[0] & _MASK16, axis), tree_sum(a[0] >> 16, axis),
+         tree_sum(a[1] & _MASK16, axis), tree_sum(a[1] >> 16, axis)]
+    return reduce_digits(d)
+
+
+def matmul_const(x, m_const):
+    """x @ M^T for canonical GL array x (..., n) and constant GL matrix
+    M (k, n) given as a (lo, hi) pair (from const_array).  Returns (..., k).
+
+    One lazy-digit contraction + one reduction; n may be up to ~2^13."""
+    d = mul_digits((x[0][..., None, :], x[1][..., None, :]),
+                   (m_const[0], m_const[1]))           # digits of (..., k, n)
+    return reduce_digits(sum_digits_axis(d, -1))
+
+
+def dot(a, b, axis=-1):
+    """sum_i a_i * b_i along an axis with one reduction (traced x traced)."""
+    return reduce_digits(sum_digits_axis(mul_digits(a, b), axis))
+
+
+# ---------------------------------------------------------------------------
 # Bit manipulation
 # ---------------------------------------------------------------------------
 

@@ -161,10 +161,135 @@ def select(mask, a, b):
 
 def reduce_with_powers(terms, alpha):
     """Horner: sum_i terms[i] * alpha^i (reference quadratic_extension.go:177-193)."""
+    if len(terms) > 8:
+        return horner(stack(terms, axis=-1), alpha)
     acc = zeros(shape_of(terms[0]))
     for t in reversed(terms):
         acc = mul_add(acc, alpha, t)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Stacked-axis (vector) helpers: a "QE array" is the same pair-of-pairs
+# structure with an extra trailing element axis on every component.  All the
+# elementwise ring ops above already work on such arrays; these helpers cover
+# construction, indexing, and the sequential chains (Horner, powers) which
+# compile to a single small lax.scan body instead of an unrolled graph.
+# ---------------------------------------------------------------------------
+
+def stack(values, axis=-1):
+    return (gl.stack([v[0] for v in values], axis),
+            gl.stack([v[1] for v in values], axis))
+
+
+def concat(arrs, axis=-1):
+    return (gl.concat([a[0] for a in arrs], axis),
+            gl.concat([a[1] for a in arrs], axis))
+
+
+def index(a, idx):
+    """Apply the same (numpy-style) index to all four limb planes."""
+    return (gl.index(a[0], idx), gl.index(a[1], idx))
+
+
+def reshape(a, shape):
+    return (gl.reshape(a[0], shape), gl.reshape(a[1], shape))
+
+
+def broadcast_to(a, shape):
+    return (gl.broadcast_to(a[0], shape), gl.broadcast_to(a[1], shape))
+
+
+def unstack(a):
+    """QE array (..., n) -> list of n QE values."""
+    n = a[0][0].shape[-1]
+    return [index(a, (Ellipsis, i)) for i in range(n)]
+
+
+def horner(terms, x):
+    """sum_i terms[..., i] * x^i over the last axis, via lax.scan.
+
+    terms: QE array (..., n); x: QE broadcastable to (...)."""
+    import jax
+
+    def to_front(c):
+        return jnp.moveaxis(c, -1, 0)[::-1]
+
+    seq = ((to_front(terms[0][0]), to_front(terms[0][1])),
+           (to_front(terms[1][0]), to_front(terms[1][1])))
+    acc0 = zeros(jnp.broadcast_shapes(terms[0][0].shape[:-1],
+                                      jnp.shape(x[0][0])))
+
+    def body(acc, t):
+        return mul_add(acc, x, t), None
+
+    acc, _ = jax.lax.scan(body, acc0, seq)
+    return acc
+
+
+def powers(x, n):
+    """[x^0, .., x^(n-1)] as a QE array (..., n), via lax.scan."""
+    import jax
+
+    def body(p, _):
+        return mul(p, x), p
+
+    _, ps = jax.lax.scan(body, ones(shape_of(x)), None, length=n)
+
+    def to_back(c):
+        return jnp.moveaxis(c, 0, -1)
+
+    return ((to_back(ps[0][0]), to_back(ps[0][1])),
+            (to_back(ps[1][0]), to_back(ps[1][1])))
+
+
+def prod_axis(a, axis=-1):
+    """Product along the last axis via log-depth pairwise folding.
+
+    Requires the axis length to be known statically; pads odd lengths
+    with ones."""
+    assert axis == -1
+    n = a[0][0].shape[-1]
+    while n > 1:
+        if n % 2:
+            a = concat([a, ones(a[0][0].shape[:-1] + (1,))], axis=-1)
+            n += 1
+        a = mul(index(a, (Ellipsis, slice(0, None, 2))),
+                index(a, (Ellipsis, slice(1, None, 2))))
+        n //= 2
+    return index(a, (Ellipsis, 0))
+
+
+def sum_axis(a, axis=-1):
+    """Modular sum along an axis (lazy digit accumulation, one reduction)."""
+    return (gl.sum_axis(a[0], axis), gl.sum_axis(a[1], axis))
+
+
+def mul_const_arr(a, const_arr):
+    """QE array (..., n) times a constant base-field array (n,) elementwise.
+
+    const_arr: (lo, hi) from gl.const_array."""
+    def comp(c):
+        return gl.reduce_digits(gl.mul_digits(c, const_arr))
+    return (comp(a[0]), comp(a[1]))
+
+
+def matmul_const(x, m_const):
+    """x @ M^T per QE component: x (..., n) QE, M (k, n) constant base-field
+    matrix from gl.const_array.  Returns QE (..., k)."""
+    return (gl.matmul_const(x[0], m_const), gl.matmul_const(x[1], m_const))
+
+
+def dot_alpha(evals, apows):
+    """sum_i evals[..., i] * apows[..., i] -> QE (...): one lazy contraction.
+
+    evals, apows: QE arrays with matching/broadcastable shapes."""
+    a, b = evals, apows
+    d0 = gl.add_digits(gl.mul_digits(a[0], b[0]),
+                       gl.scale_digits(gl.mul_digits(a[1], b[1]), gl.W))
+    d1 = gl.add_digits(gl.mul_digits(a[0], b[1]), gl.mul_digits(a[1], b[0]))
+    return (gl.reduce_digits(gl.sum_digits_axis(d0, -1)),
+            gl.reduce_digits(gl.sum_digits_axis(d1, -1)))
 
 
 # ---------------------------------------------------------------------------

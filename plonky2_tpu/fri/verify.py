@@ -110,28 +110,14 @@ def _hash_leaves_scan(packed, slot_mask, active):
     return state[..., 0, :]
 
 
-def _alpha_power_list(alpha, n):
-    """[alpha^0 .. alpha^(n-1)] as stacked QE arrays of shape (B, n)."""
-    powers = [qe.ones(qe.shape_of(alpha))]
-    for _ in range(n - 1):
-        powers.append(qe.mul(powers[-1], alpha))
-    c0 = (jnp.stack([p[0][0] for p in powers], -1),
-          jnp.stack([p[0][1] for p in powers], -1))
-    c1 = (jnp.stack([p[1][0] for p in powers], -1),
-          jnp.stack([p[1][1] for p in powers], -1))
-    return c0, c1  # each a GL pair of shape (B, n)
-
-
-def _dot_base_with_alpha(evals, apow_c0, apow_c1):
+def _dot_base_with_alpha(evals, apows):
     """sum_i evals_i * alpha^i for base-field evals (B, Q, L) GL pair and
-    alpha powers (B, L).  Returns QE of shape (B, Q)."""
+    QE alpha powers (B, L).  Returns QE of shape (B, Q)."""
     e = evals
-    p0 = (apow_c0[0][:, None, :], apow_c0[1][:, None, :])
-    p1 = (apow_c1[0][:, None, :], apow_c1[1][:, None, :])
-    d0 = gl.mul_digits(e, p0)
-    d0 = [jnp.sum(x, axis=-1) for x in d0]
-    d1 = gl.mul_digits(e, p1)
-    d1 = [jnp.sum(x, axis=-1) for x in d1]
+    p0 = (apows[0][0][:, None, :], apows[0][1][:, None, :])
+    p1 = (apows[1][0][:, None, :], apows[1][1][:, None, :])
+    d0 = gl.sum_digits_axis(gl.mul_digits(e, p0), -1)
+    d1 = gl.sum_digits_axis(gl.mul_digits(e, p1), -1)
     return (gl.reduce_digits(d0), gl.reduce_digits(d1))
 
 
@@ -160,21 +146,13 @@ def verify_fri(spec, dev, challenges, verdict):
 
     # --- precomputed reduced openings (reference fri/fri.go:82-95)
     alpha = challenges["fri_alpha"]
-    batch0_vals = []
-    for key in ["op_constants", "op_plonk_sigmas", "op_wires", "op_plonk_zs",
-                "op_partial_products", "op_quotient_polys"]:
-        arr = dev[key]  # QE pair-of-pairs with shape (B, n)
-        n = arr[0][0].shape[-1]
-        for i in range(n):
-            batch0_vals.append(((arr[0][0][:, i], arr[0][1][:, i]),
-                                (arr[1][0][:, i], arr[1][1][:, i])))
-    batch1_vals = []
-    arr = dev["op_plonk_zs_next"]
-    for i in range(arr[0][0].shape[-1]):
-        batch1_vals.append(((arr[0][0][:, i], arr[0][1][:, i]),
-                            (arr[1][0][:, i], arr[1][1][:, i])))
-    pre0 = qe.reduce_with_powers(batch0_vals, alpha)  # (B,)
-    pre1 = qe.reduce_with_powers(batch1_vals, alpha)
+    batch0 = qe.concat([dev[key] for key in
+                        ["op_constants", "op_plonk_sigmas", "op_wires",
+                         "op_plonk_zs", "op_partial_products",
+                         "op_quotient_polys"]])           # QE (B, n0)
+    batch1 = dev["op_plonk_zs_next"]                      # QE (B, nc)
+    pre0 = qe.horner(batch0, alpha)                       # (B,)
+    pre1 = qe.horner(batch1, alpha)
 
     # --- per-round index bits
     x_index = challenges["query_indices"]           # GL pair (B, Q)
@@ -210,12 +188,12 @@ def verify_fri(spec, dev, challenges, verdict):
 
     # --- combine initial (reference fri/fri.go:208-251)
     zeta = challenges["zeta"]
-    n0 = len(batch0_vals)
-    apow0 = _alpha_power_list(alpha, n0)
+    n0 = batch0[0][0].shape[-1]
+    apow0 = qe.powers(alpha, n0)                           # QE (B, n0)
     evals0 = jnp.concatenate([dev[f"init_leaves_{o}"][0] for o in range(4)],
                              axis=-1), jnp.concatenate(
         [dev[f"init_leaves_{o}"][1] for o in range(4)], axis=-1)  # (B,Q,L)
-    re0 = _dot_base_with_alpha(evals0, apow0[0], apow0[1])
+    re0 = _dot_base_with_alpha(evals0, apow0)
     sx_qe = qe.from_base(subgroup_x)
 
     def bcast_qe(x):
@@ -233,8 +211,8 @@ def verify_fri(spec, dev, challenges, verdict):
     nb1 = spec.num_challenges
     evals1 = (dev["init_leaves_2"][0][..., :nb1],
               dev["init_leaves_2"][1][..., :nb1])
-    apow1 = _alpha_power_list(alpha, nb1)
-    re1 = _dot_base_with_alpha(evals1, apow1[0], apow1[1])
+    apow1 = qe.powers(alpha, nb1)
+    re1 = _dot_base_with_alpha(evals1, apow1)
     num1 = qe.sub(re1, bcast_qe(pre1))
     den1 = qe.sub(sx_qe, bcast_qe(zeta_next))
     verdict = verdict & jnp.all(~qe.is_zero(den1), axis=-1)
@@ -289,18 +267,18 @@ def verify_fri(spec, dev, challenges, verdict):
     # --- final polynomial check (reference fri/fri.go:253-259, 493-497)
     sx_qe = qe.from_base(subgroup_x)
     fp = dev["final_poly"]                           # QE pair (B, F)
-    acc = qe.zeros((B, Q))
-    for i in reversed(range(fp[0][0].shape[-1])):
-        coeff = bcast_qe(((fp[0][0][:, i], fp[0][1][:, i]),
-                          (fp[1][0][:, i], fp[1][1][:, i])))
-        acc = qe.mul_add(acc, sx_qe, coeff)
+    # broadcast coeffs over the query axis: (B, F) -> (B, 1, F)
+    fp_b = qe.index(fp, (Ellipsis, None, slice(None)))
+    acc = qe.horner(fp_b, sx_qe)                     # (B, Q)
     verdict = verdict & jnp.all(qe.eq(old_eval, acc), axis=-1)
     return verdict
 
 
 def _compute_evaluation(spec, x, within_bits, arity_bits, evals, beta):
     """Barycentric interpolation of the coset evals at beta
-    (reference fri/fri.go:261-384)."""
+    (reference fri/fri.go:261-384), fully stacked over the coset axis:
+    the O(arity^2) pairwise differences are one broadcast subtract and the
+    per-point products fold in log-depth."""
     arity = 1 << arity_bits
     g = gl.primitive_root_of_unity(arity_bits)
     g_inv = pow(g, arity - 1, gl.P)
@@ -309,14 +287,10 @@ def _compute_evaluation(spec, x, within_bits, arity_bits, evals, beta):
     def bitrev(i):
         return int(f"{i:0{arity_bits}b}"[::-1], 2)
 
-    perm = [0] * arity
-    for i in range(arity):
-        perm[bitrev(i)] = i
-    y_points = []
-    for i in range(arity):
-        src = perm[i]
-        y_points.append(((evals[0][0][..., src], evals[0][1][..., src]),
-                         (evals[1][0][..., src], evals[1][1][..., src])))
+    perm = np.asarray([bitrev(i) for i in range(arity)])
+    inv_perm = np.zeros(arity, dtype=np.int64)
+    inv_perm[perm] = np.arange(arity)
+    y_st = qe.index(evals, (Ellipsis, inv_perm))    # (B, Q, arity)
 
     # cosetStart = x * gInv^bitrev(within_idx)
     start = gl.ones(within_bits[0].shape)
@@ -327,63 +301,34 @@ def _compute_evaluation(spec, x, within_bits, arity_bits, evals, beta):
         pw = (pw * pw) % gl.P
     coset_start = gl.mul(start, x)
 
-    x_points = [qe.from_base(coset_start)]
-    for _ in range(arity - 1):
-        x_points.append(qe.scalar_mul_const(x_points[-1], g))
+    # x_i = coset_start * g^i: one constant-array multiply
+    g_pows = gl.const_array([pow(g, i, gl.P) for i in range(arity)])
+    cs_b = qe.index(qe.from_base(coset_start), (Ellipsis, None))  # (B, Q, 1)
+    x_st = qe.mul_const_arr(cs_b, g_pows)            # (B, Q, arity)
 
-    # barycentric weights w_i = 1 / prod_{j != i} (x_i - x_j)
-    weights = []
-    for i in range(arity):
-        acc = qe.ones(qe.shape_of(x_points[i]))
-        for j in range(arity):
-            if i != j:
-                acc = qe.mul(acc, qe.sub(x_points[i], x_points[j]))
-        weights.append(acc)
-    # batch the inversions by stacking
-    w_st = ((jnp.stack([w[0][0] for w in weights], -1),
-             jnp.stack([w[0][1] for w in weights], -1)),
-            (jnp.stack([w[1][0] for w in weights], -1),
-             jnp.stack([w[1][1] for w in weights], -1)))
-    w_inv = qe.inv(w_st)
+    # barycentric weights w_i = 1 / prod_{j != i} (x_i - x_j):
+    # pairwise diffs in one broadcast, diagonal masked to one
+    xi = qe.index(x_st, (Ellipsis, slice(None), None))   # (B, Q, A, 1)
+    xj = qe.index(x_st, (Ellipsis, None, slice(None)))   # (B, Q, 1, A)
+    pd = qe.sub(xi, xj)                                  # (B, Q, A, A)
+    eye = jnp.eye(arity, dtype=bool)
+    pd = qe.select(eye, qe.ones(pd[0][0].shape), pd)
+    w_inv = qe.inv(qe.prod_axis(pd))                     # (B, Q, A)
 
-    beta_b = ((beta[0][0][:, None], beta[0][1][:, None]),
-              (beta[1][0][:, None], beta[1][1][:, None]))
+    beta_b = ((beta[0][0][:, None, None], beta[0][1][:, None, None]),
+              (beta[1][0][:, None, None], beta[1][1][:, None, None]))
 
     # interpolate at beta (reference fri/fri.go:261-312)
-    x_st = ((jnp.stack([p[0][0] for p in x_points], -1),
-             jnp.stack([p[0][1] for p in x_points], -1)),
-            (jnp.stack([p[1][0] for p in x_points], -1),
-             jnp.stack([p[1][1] for p in x_points], -1)))
-    y_st = ((jnp.stack([p[0][0] for p in y_points], -1),
-             jnp.stack([p[0][1] for p in y_points], -1)),
-            (jnp.stack([p[1][0] for p in y_points], -1),
-             jnp.stack([p[1][1] for p in y_points], -1)))
-
     diff = qe.sub(beta_b, x_st)                     # (B, Q, arity)
     diff_inv = qe.inv(diff)
     any_zero = qe.is_zero(diff)                     # beta == x_i ?
 
-    # l_x = prod (beta - x_i)
-    l_x = None
-    for i in range(arity):
-        d = ((diff[0][0][..., i], diff[0][1][..., i]),
-             (diff[1][0][..., i], diff[1][1][..., i]))
-        l_x = d if l_x is None else qe.mul(l_x, d)
-
-    quot = qe.mul(w_inv, diff_inv)
-    terms = qe.mul(y_st, quot)
-    ssum = None
-    for i in range(arity):
-        t = ((terms[0][0][..., i], terms[0][1][..., i]),
-             (terms[1][0][..., i], terms[1][1][..., i]))
-        ssum = t if ssum is None else qe.add(ssum, t)
-    interpolation = qe.mul(l_x, ssum)
+    l_x = qe.prod_axis(diff)                        # prod (beta - x_i)
+    terms = qe.mul(y_st, qe.mul(w_inv, diff_inv))
+    interpolation = qe.mul(l_x, qe.sum_axis(terms))
 
     # fallback when beta coincides with a coset point
     hit = jnp.any(any_zero, axis=-1)
-    lookup_val = qe.zeros(hit.shape)
-    for i in range(arity):
-        yi = ((y_st[0][0][..., i], y_st[0][1][..., i]),
-              (y_st[1][0][..., i], y_st[1][1][..., i]))
-        lookup_val = qe.select(any_zero[..., i], yi, lookup_val)
+    picked = qe.select(any_zero, y_st, qe.zeros(y_st[0][0].shape))
+    lookup_val = qe.sum_axis(picked)
     return qe.select(hit, lookup_val, interpolation)

@@ -1,32 +1,120 @@
-"""Plonky2 gate-constraint evaluators.
+"""Plonky2 gate-constraint evaluators, vectorized.
 
-Each gate is a pure function: (local_constants, local_wires, pi_hash) ->
-list of QE constraint values, evaluated at zeta over batched QE arrays.
+Each gate is a pure function ``eval(consts, wires, pi_hash) -> QE array``
+evaluated at zeta:
+
+- ``consts``: QE array of shape (B, n_consts) (selector prefix removed),
+- ``wires``: QE array of shape (B, n_wires),
+- ``pi_hash``: GL pair of shape (B, 4),
+- returns a QE array of shape (B, n_gate_constraints) whose element order
+  matches the reference exactly (plonk/gates/*.go per-gate citations below).
+
+Design note (TPU-first): the reference evaluates gates as scalar chains of
+gnark constraints; here every per-op / per-copy / per-round repetition is a
+stacked array axis so a gate contributes a handful of whole-array ops to the
+jitted graph instead of thousands of scalar ones.  Sequential structures
+whose intermediate values the proof pins to witness wires (Poseidon S-box
+inputs, reducing accumulators, exponentiation intermediates) are *not*
+sequential for the verifier -- each step reads its inputs from wires -- so
+they vectorize over the step axis; genuinely sequential chains (coset
+interpolation chunks) run as a single small lax.scan body.
+
 Gate instances are parsed from plonky2's Rust Debug-string gate IDs found in
 common_circuit_data.json (same regex registry idea as reference
 plonk/gates/gates.go:20-54).
-
-QE values here are plonky2_tpu.fields.goldilocks_ext pairs; extension-algebra
-values ([2]QE) are used where a gate reads a D=2 extension wire
-(reference plonk/gates/*.go; per-gate citations below).
 """
 
 from __future__ import annotations
 
 import re
 
+import jax.numpy as jnp
+import numpy as np
+
 from ..fields import goldilocks as gl
 from ..fields import goldilocks_ext as qe
 from ..hash import poseidon_gl_constants as PK
+from ..hash.poseidon_gl import _mds_layer
 
 UNUSED_SELECTOR = (1 << 32) - 1
 D = 2
 
 
-def _ea(wires, start):
-    """Extension-algebra value from wires[start:start+2]."""
-    return (wires[start], wires[start + 1])
+# ---------------------------------------------------------------------------
+# Small helpers over QE arrays
+# ---------------------------------------------------------------------------
 
+def _w(wires, i):
+    """Single wire column -> QE (B,)."""
+    return qe.index(wires, (Ellipsis, i))
+
+
+def _ws(wires, sl):
+    """Wire column slice/fancy-index -> QE (B, ...)."""
+    if isinstance(sl, tuple):
+        return qe.index(wires, sl)
+    return qe.index(wires, (Ellipsis, sl))
+
+
+def _col(x):
+    """QE (B,) -> QE (B, 1) for broadcasting against stacked axes."""
+    return qe.index(x, (Ellipsis, None))
+
+
+def _interleave2(a, b):
+    """Two QE arrays (B, n) -> (B, 2n) interleaved [a0, b0, a1, b1, ...]."""
+    def comp(x, y):
+        return jnp.stack([x, y], axis=-1).reshape(x.shape[:-1] + (-1,))
+    return ((comp(a[0][0], b[0][0]), comp(a[0][1], b[0][1])),
+            (comp(a[1][0], b[1][0]), comp(a[1][1], b[1][1])))
+
+
+def _interleave_many(arrs):
+    """k QE arrays (B, n) -> (B, k*n) interleaved per-n blocks."""
+    def comp(xs):
+        return jnp.stack(xs, axis=-1).reshape(xs[0].shape[:-1] + (-1,))
+    return ((comp([a[0][0] for a in arrs]), comp([a[0][1] for a in arrs])),
+            (comp([a[1][0] for a in arrs]), comp([a[1][1] for a in arrs])))
+
+
+def _flatten2(a):
+    """QE array (B, m, n) -> (B, m*n) row-major."""
+    def comp(x):
+        return x.reshape(x.shape[:-2] + (-1,))
+    return ((comp(a[0][0]), comp(a[0][1])), (comp(a[1][0]), comp(a[1][1])))
+
+
+def _qe_const_arr(values, c1_values=None):
+    """Python ints -> constant QE array (component 1 zero by default)."""
+    c0 = gl.const_array(values)
+    if c1_values is None:
+        z = (jnp.zeros_like(c0[0]), jnp.zeros_like(c0[1]))
+        return (c0, z)
+    return (c0, gl.const_array(c1_values))
+
+
+def _ea_cols(wires, start, count, stride=D):
+    """Extension-algebra columns: wires laid out [y0.c0, y0.c1] at
+    start + stride*i -> (QE (B, count), QE (B, count))."""
+    i0 = _ws(wires, slice(start, start + stride * count, stride))
+    i1 = _ws(wires, slice(start + 1, start + 1 + stride * count, stride))
+    return (i0, i1)
+
+
+def _empty(wires):
+    B = wires[0][0].shape[0]
+    return qe.zeros((B, 0))
+
+
+def _add_gl_const(x, garr):
+    """QE array + constant base-field GL array (broadcast over leading dims):
+    adds into component 0 only."""
+    return (gl.add(x[0], garr), x[1])
+
+
+# ---------------------------------------------------------------------------
+# Gates
+# ---------------------------------------------------------------------------
 
 class ArithmeticGate:
     """const_0 * m0 * m1 + const_1 * addend == out, num_ops copies
@@ -36,14 +124,14 @@ class ArithmeticGate:
         self.num_ops = num_ops
 
     def eval(self, consts, wires, pi_hash):
-        c0, c1 = consts[0], consts[1]
-        out = []
-        for i in range(self.num_ops):
-            m0, m1, addend, o = (wires[4 * i], wires[4 * i + 1],
-                                 wires[4 * i + 2], wires[4 * i + 3])
-            computed = qe.add(qe.mul(qe.mul(m0, m1), c0), qe.mul(addend, c1))
-            out.append(qe.sub(o, computed))
-        return out
+        n = self.num_ops
+        c0, c1 = _col(_w(consts, 0)), _col(_w(consts, 1))
+        m0 = _ws(wires, slice(0, 4 * n, 4))
+        m1 = _ws(wires, slice(1, 4 * n, 4))
+        addend = _ws(wires, slice(2, 4 * n, 4))
+        out = _ws(wires, slice(3, 4 * n, 4))
+        computed = qe.add(qe.mul(qe.mul(m0, m1), c0), qe.mul(addend, c1))
+        return qe.sub(out, computed)
 
 
 class ArithmeticExtensionGate:
@@ -54,18 +142,16 @@ class ArithmeticExtensionGate:
         self.num_ops = num_ops
 
     def eval(self, consts, wires, pi_hash):
-        c0, c1 = consts[0], consts[1]
-        out = []
-        for i in range(self.num_ops):
-            m0 = _ea(wires, 4 * D * i)
-            m1 = _ea(wires, 4 * D * i + D)
-            addend = _ea(wires, 4 * D * i + 2 * D)
-            o = _ea(wires, 4 * D * i + 3 * D)
-            computed = qe.ea_add(qe.ea_scalar_mul(c1, addend),
-                                 qe.ea_scalar_mul(c0, qe.ea_mul(m0, m1)))
-            diff = qe.ea_sub(o, computed)
-            out.extend([diff[0], diff[1]])
-        return out
+        n = self.num_ops
+        c0, c1 = _col(_w(consts, 0)), _col(_w(consts, 1))
+        m0 = _ea_cols(wires, 0, n, 4 * D)
+        m1 = _ea_cols(wires, D, n, 4 * D)
+        addend = _ea_cols(wires, 2 * D, n, 4 * D)
+        out = _ea_cols(wires, 3 * D, n, 4 * D)
+        computed = qe.ea_add(qe.ea_scalar_mul(c1, addend),
+                             qe.ea_scalar_mul(c0, qe.ea_mul(m0, m1)))
+        diff = qe.ea_sub(out, computed)
+        return _interleave2(diff[0], diff[1])
 
 
 class BaseSumGate:
@@ -77,17 +163,15 @@ class BaseSumGate:
         self.base = base
 
     def eval(self, consts, wires, pi_hash):
-        total = wires[0]
-        limbs = [wires[1 + i] for i in range(self.num_limbs)]
-        base_qe = qe.from_ints(self.base, 0, qe.shape_of(total))
-        computed = qe.reduce_with_powers(limbs, base_qe)
-        out = [qe.sub(computed, total)]
-        for limb in limbs:
-            acc = qe.ones(qe.shape_of(limb))
-            for i in range(self.base):
-                acc = qe.mul(acc, qe.sub(limb, qe.from_ints(i, 0, qe.shape_of(limb))))
-            out.append(acc)
-        return out
+        total = _col(_w(wires, 0))
+        limbs = _ws(wires, slice(1, 1 + self.num_limbs))     # (B, L)
+        base_qe = qe.from_ints(self.base, 0, ())
+        computed = qe.horner(limbs, base_qe)                 # (B,)
+        first = qe.sub(_col(computed), total)                # (B, 1)
+        acc = qe.ones(limbs[0][0].shape)
+        for i in range(self.base):
+            acc = qe.mul(acc, qe.sub(limbs, qe.from_ints(i, 0, ())))
+        return qe.concat([first, acc])
 
 
 class ConstantGate:
@@ -97,12 +181,18 @@ class ConstantGate:
         self.num_consts = num_consts
 
     def eval(self, consts, wires, pi_hash):
-        return [qe.sub(consts[i], wires[i]) for i in range(self.num_consts)]
+        n = self.num_consts
+        return qe.sub(qe.index(consts, (Ellipsis, slice(0, n))),
+                      qe.index(wires, (Ellipsis, slice(0, n))))
 
 
 class CosetInterpolationGate:
     """Chunked barycentric interpolation over a coset of H
-    (reference plonk/gates/coset_interpolation_gate.go:151-226)."""
+    (reference plonk/gates/coset_interpolation_gate.go:151-226).
+
+    Chunks are independent for the verifier (every chunk's accumulator init
+    is pinned to intermediate wires), so they stack into an axis; only the
+    <=degree steps within a chunk run sequentially (one lax.scan body)."""
 
     def __init__(self, subgroup_bits, degree, barycentric_weights):
         self.subgroup_bits = subgroup_bits
@@ -118,99 +208,129 @@ class CosetInterpolationGate:
         return (self.num_points - 2) // (self.degree - 1)
 
     def eval(self, consts, wires, pi_hash):
+        import jax
+
         n = self.num_points
+        deg = self.degree
+        ni = self.num_intermediates
+        C = 1 + ni
         start_values = 1
         start_eval_point = start_values + n * D
         start_eval_value = start_eval_point + D
         start_intermediates = start_eval_value + D
 
-        shift = wires[0]
-        evaluation_point = _ea(wires, start_eval_point)
-        shifted_evaluation_point = _ea(
-            wires, start_intermediates + D * 2 * self.num_intermediates)
+        shift = _w(wires, 0)                                  # QE (B,)
+        eval_point = (_w(wires, start_eval_point),
+                      _w(wires, start_eval_point + 1))
+        shifted_pt = (_w(wires, start_intermediates + D * 2 * ni),
+                      _w(wires, start_intermediates + D * 2 * ni + 1))
 
-        constraints = []
-        # evaluation_point - shift * shifted_evaluation_point == 0
+        # constraint 0-1: evaluation_point - shift * shifted_evaluation_point
         neg_shift = qe.neg(shift)
-        tmp = qe.ea_add(
-            (qe.mul(neg_shift, shifted_evaluation_point[0]),
-             qe.mul(neg_shift, shifted_evaluation_point[1])),
-            evaluation_point)
-        constraints.extend([tmp[0], tmp[1]])
+        c_shift = qe.ea_add((qe.mul(neg_shift, shifted_pt[0]),
+                             qe.mul(neg_shift, shifted_pt[1])), eval_point)
 
+        # static per-(chunk, step) schedule
         domain = gl.two_adic_subgroup(self.subgroup_bits)
-        values = [_ea(wires, start_values + i * D) for i in range(n)]
+        bounds = [(0, deg)]
+        for i in range(ni):
+            s = 1 + (deg - 1) * (i + 1)
+            bounds.append((s, min(s + deg - 1, n)))
+        xs = np.zeros((deg, C), dtype=np.uint64)
+        ws = np.zeros((deg, C), dtype=np.uint64)
+        vidx = np.zeros((deg, C), dtype=np.int64)
+        active = np.zeros((deg, C), dtype=bool)
+        for c, (s, e) in enumerate(bounds):
+            for j in range(e - s):
+                xs[j, c] = domain[s + j]
+                ws[j, c] = self.weights[s + j] % gl.P
+                vidx[j, c] = s + j
+                active[j, c] = True
 
-        shape = qe.shape_of(shift)
-        computed_eval = qe.ea_zeros(shape)
-        computed_prod = qe.ea_ones(shape)
-        computed_eval, computed_prod = _partial_interpolate(
-            domain[:self.degree], values[:self.degree],
-            self.weights[:self.degree], shifted_evaluation_point,
-            computed_eval, computed_prod)
+        # values gathered per (chunk, step): ea of QE (B, deg, C)
+        v0 = _ea_cols(wires, start_values, n)                # ea (B, n)
+        val0 = (qe.index(v0[0], (Ellipsis, vidx)),
+                qe.index(v0[1], (Ellipsis, vidx)))           # ea (B, deg, C)
 
-        for i in range(self.num_intermediates):
-            inter_eval = _ea(wires, start_intermediates + D * i)
-            inter_prod = _ea(
-                wires, start_intermediates + D * (self.num_intermediates + i))
-            diff_e = qe.ea_sub(inter_eval, computed_eval)
-            constraints.extend([diff_e[0], diff_e[1]])
-            diff_p = qe.ea_sub(inter_prod, computed_prod)
-            constraints.extend([diff_p[0], diff_p[1]])
+        # chunk accumulator inits: chunk 0 = (0, 1); chunk c>=1 from wires
+        inter_eval = _ea_cols(wires, start_intermediates, ni)      # (B, ni)
+        inter_prod = _ea_cols(wires, start_intermediates + D * ni, ni)
+        B = wires[0][0].shape[0]
+        init_eval = (qe.concat([qe.zeros((B, 1)), inter_eval[0]]),
+                     qe.concat([qe.zeros((B, 1)), inter_eval[1]]))
+        init_prod = (qe.concat([qe.ones((B, 1)), inter_prod[0]]),
+                     qe.concat([qe.zeros((B, 1)), inter_prod[1]]))
 
-            start_index = 1 + (self.degree - 1) * (i + 1)
-            end_index = min(start_index + self.degree - 1, n)
-            computed_eval, computed_prod = _partial_interpolate(
-                domain[start_index:end_index], values[start_index:end_index],
-                self.weights[start_index:end_index], shifted_evaluation_point,
-                inter_eval, inter_prod)
+        x_seq = gl.reshape(gl.const_array(xs.reshape(-1).tolist()), (deg, C))
+        w_seq = gl.reshape(gl.const_array(ws.reshape(-1).tolist()), (deg, C))
+        act_seq = jnp.asarray(active)
 
-        evaluation_value = _ea(wires, start_eval_value)
-        diff = qe.ea_sub(evaluation_value, computed_eval)
-        constraints.extend([diff[0], diff[1]])
-        return constraints
+        def to_front(a):
+            """QE array (B, deg, C) -> (deg, B, C) for scanning."""
+            return ((jnp.moveaxis(a[0][0], 1, 0), jnp.moveaxis(a[0][1], 1, 0)),
+                    (jnp.moveaxis(a[1][0], 1, 0), jnp.moveaxis(a[1][1], 1, 0)))
 
+        vseq = (to_front(val0[0]), to_front(val0[1]))        # ea of (deg, B, C)
 
-def _partial_interpolate(domain, values, weights, point, init_eval, init_prod):
-    """Incremental barycentric step (reference
-    goldilocks/quadratic_extension_algebra.go:88-125)."""
-    new_eval, new_prod = init_eval, init_prod
-    for x, val, w in zip(domain, values, weights):
-        x_ea = (qe.from_ints(x, 0, qe.shape_of(point[0])),
-                qe.zeros(qe.shape_of(point[0])))
-        term = qe.ea_sub(point, x_ea)
-        weighted_val = (qe.scalar_mul_const(val[0], w),
-                        qe.scalar_mul_const(val[1], w))
-        new_eval = qe.ea_mul(new_eval, term)
-        new_eval = qe.ea_add(new_eval, qe.ea_mul(weighted_val, new_prod))
-        new_prod = qe.ea_mul(new_prod, term)
-    return new_eval, new_prod
+        pt = (qe.index(shifted_pt[0], (Ellipsis, None)),
+              qe.index(shifted_pt[1], (Ellipsis, None)))     # ea (B, 1)
+
+        def step(carry, xsn):
+            ev, pr = carry                                    # ea (B, C) each
+            x, wgt, val, act = xsn
+            # term = point - x  (x is base-field, a GL (C,) constant)
+            term = ((gl.sub(pt[0][0], x), pt[0][1]), pt[1])
+            wv = ((gl.mul(val[0][0], wgt), gl.mul(val[0][1], wgt)),
+                  (gl.mul(val[1][0], wgt), gl.mul(val[1][1], wgt)))
+            new_ev = qe.ea_add(qe.ea_mul(ev, term), qe.ea_mul(wv, pr))
+            new_pr = qe.ea_mul(pr, term)
+            m = act[None, :]
+            ev = (qe.select(m, new_ev[0], ev[0]), qe.select(m, new_ev[1], ev[1]))
+            pr = (qe.select(m, new_pr[0], pr[0]), qe.select(m, new_pr[1], pr[1]))
+            return (ev, pr), None
+
+        (E, Pr), _ = jax.lax.scan(step, (init_eval, init_prod),
+                                  (x_seq, w_seq, vseq, act_seq))
+
+        out = [qe.stack([c_shift[0], c_shift[1]], axis=-1)]
+        # per intermediate i: inter_eval_i - E_i (2), inter_prod_i - Pr_i (2)
+        if ni:
+            de = qe.ea_sub(inter_eval, (qe.index(E[0], (Ellipsis, slice(0, ni))),
+                                        qe.index(E[1], (Ellipsis, slice(0, ni)))))
+            dp = qe.ea_sub(inter_prod, (qe.index(Pr[0], (Ellipsis, slice(0, ni))),
+                                        qe.index(Pr[1], (Ellipsis, slice(0, ni)))))
+            out.append(_interleave_many([de[0], de[1], dp[0], dp[1]]))
+        eval_value = (_w(wires, start_eval_value), _w(wires, start_eval_value + 1))
+        dv = qe.ea_sub(eval_value, (qe.index(E[0], (Ellipsis, C - 1)),
+                                    qe.index(E[1], (Ellipsis, C - 1))))
+        out.append(qe.stack([dv[0], dv[1]], axis=-1))
+        return qe.concat(out)
 
 
 class ExponentiationGate:
     """Square-and-multiply chain (reference
-    plonk/gates/exponentiation_gate.go:80-128)."""
+    plonk/gates/exponentiation_gate.go:80-128).  Every intermediate is a
+    wire, so all steps vectorize."""
 
     def __init__(self, num_power_bits):
         self.num_power_bits = num_power_bits
 
     def eval(self, consts, wires, pi_hash):
         npb = self.num_power_bits
-        base = wires[0]
-        power_bits = [wires[1 + i] for i in range(npb)]
-        output = wires[1 + npb]
-        inters = [wires[2 + npb + i] for i in range(npb)]
-        one = qe.ones(qe.shape_of(base))
-        constraints = []
-        for i in range(npb):
-            prev = one if i == 0 else qe.mul(inters[i - 1], inters[i - 1])
-            cur_bit = power_bits[npb - i - 1]
-            # mul_by = cur_bit*base - (cur_bit - 1)
-            mul_by = qe.sub(qe.mul(cur_bit, base), qe.sub(cur_bit, one))
-            diff = qe.sub(qe.mul(prev, mul_by), inters[i])
-            constraints.append(diff)
-        constraints.append(qe.sub(output, inters[npb - 1]))
-        return constraints
+        base = _col(_w(wires, 0))
+        output = _w(wires, 1 + npb)
+        inters = _ws(wires, slice(2 + npb, 2 + 2 * npb))      # (B, npb)
+        # cur_bit for step i is power_bits[npb - 1 - i]: wires npb .. 1
+        cur_bits = _ws(wires, slice(npb, 0, -1))              # (B, npb)
+        B = wires[0][0].shape[0]
+        prev_sq = qe.mul(qe.index(inters, (Ellipsis, slice(0, npb - 1))),
+                         qe.index(inters, (Ellipsis, slice(0, npb - 1))))
+        prev = qe.concat([qe.ones((B, 1)), prev_sq])
+        one = qe.ones((B, npb))
+        mul_by = qe.sub(qe.mul(cur_bits, base), qe.sub(cur_bits, one))
+        steps = qe.sub(qe.mul(prev, mul_by), inters)
+        last = qe.sub(output, qe.index(inters, (Ellipsis, npb - 1)))
+        return qe.concat([steps, qe.index(last, (Ellipsis, None))])
 
 
 class MulExtensionGate:
@@ -221,21 +341,19 @@ class MulExtensionGate:
         self.num_ops = num_ops
 
     def eval(self, consts, wires, pi_hash):
-        c0 = consts[0]
-        out = []
-        for i in range(self.num_ops):
-            m0 = _ea(wires, 3 * D * i)
-            m1 = _ea(wires, 3 * D * i + D)
-            o = _ea(wires, 3 * D * i + 2 * D)
-            computed = qe.ea_scalar_mul(c0, qe.ea_mul(m0, m1))
-            diff = qe.ea_sub(o, computed)
-            out.extend([diff[0], diff[1]])
-        return out
+        n = self.num_ops
+        c0 = _col(_w(consts, 0))
+        m0 = _ea_cols(wires, 0, n, 3 * D)
+        m1 = _ea_cols(wires, D, n, 3 * D)
+        out = _ea_cols(wires, 2 * D, n, 3 * D)
+        computed = qe.ea_scalar_mul(c0, qe.ea_mul(m0, m1))
+        diff = qe.ea_sub(out, computed)
+        return _interleave2(diff[0], diff[1])
 
 
 class NoopGate:
     def eval(self, consts, wires, pi_hash):
-        return []
+        return _empty(wires)
 
 
 class PublicInputGate:
@@ -243,11 +361,8 @@ class PublicInputGate:
     plonk/gates/public_input_gate.go:32-51)."""
 
     def eval(self, consts, wires, pi_hash):
-        out = []
-        for i in range(4):
-            h = (pi_hash[0][..., i], pi_hash[1][..., i])
-            out.append(qe.sub(wires[i], qe.from_base(h)))
-        return out
+        h = qe.from_base(pi_hash)                             # QE (B, 4)
+        return qe.sub(qe.index(wires, (Ellipsis, slice(0, 4))), h)
 
 
 class RandomAccessGate:
@@ -263,56 +378,70 @@ class RandomAccessGate:
         return 1 << self.bits
 
     def eval(self, consts, wires, pi_hash):
-        constraints = []
-        stride = 2 + self.vec_size
-        num_routed = stride * self.num_copies + self.num_extra_constants
-        for copy in range(self.num_copies):
-            access_index = wires[stride * copy]
-            claimed = wires[stride * copy + 1]
-            items = [wires[stride * copy + 2 + i] for i in range(self.vec_size)]
-            bits = [wires[num_routed + copy * self.bits + i]
-                    for i in range(self.bits)]
-            for b in bits:
-                constraints.append(qe.sub(qe.mul(b, b), b))
-            two = qe.from_ints(2, 0, qe.shape_of(access_index))
-            recon = qe.reduce_with_powers(bits, two)
-            constraints.append(qe.sub(recon, access_index))
-            for b in bits:
-                items = [qe.add(items[i], qe.mul(b, qe.sub(items[i + 1], items[i])))
-                         for i in range(0, len(items), 2)]
-            assert len(items) == 1
-            constraints.append(qe.sub(items[0], claimed))
-        for i in range(self.num_extra_constants):
-            constraints.append(qe.sub(consts[i],
-                                      wires[stride * self.num_copies + i]))
-        return constraints
+        C, V, nb = self.num_copies, self.vec_size, self.bits
+        stride = 2 + V
+        num_routed = stride * C + self.num_extra_constants
+
+        access = _ws(wires, slice(0, stride * C, stride))     # (B, C)
+        claimed = _ws(wires, slice(1, stride * C, stride))    # (B, C)
+        item_idx = np.asarray([[stride * c + 2 + i for i in range(V)]
+                               for c in range(C)])
+        items = _ws(wires, (Ellipsis, item_idx))                       # (B, C, V)
+        bit_idx = np.asarray([[num_routed + c * nb + i for i in range(nb)]
+                              for c in range(C)])
+        bits = _ws(wires, (Ellipsis, bit_idx))                         # (B, C, nb)
+
+        bools = qe.sub(qe.mul(bits, bits), bits)              # (B, C, nb)
+        recon = qe.horner(bits, qe.from_ints(2, 0, ()))       # (B, C)
+        c_recon = qe.sub(recon, access)
+        for lvl in range(nb):
+            b = qe.index(bits, (Ellipsis, lvl))
+            b = qe.index(b, (Ellipsis, None))                 # (B, C, 1)
+            evens = qe.index(items, (Ellipsis, slice(0, None, 2)))
+            odds = qe.index(items, (Ellipsis, slice(1, None, 2)))
+            items = qe.add(evens, qe.mul(b, qe.sub(odds, evens)))
+        c_mux = qe.sub(qe.index(items, (Ellipsis, 0)), claimed)
+
+        # per-copy block: [bools.., recon, mux] -> (B, C, nb + 2) row-major
+        block = qe.concat([bools,
+                           qe.index(c_recon, (Ellipsis, None)),
+                           qe.index(c_mux, (Ellipsis, None))], axis=-1)
+        out = [_flatten2(block)]
+        ne = self.num_extra_constants
+        if ne:
+            out.append(qe.sub(qe.index(consts, (Ellipsis, slice(0, ne))),
+                              _ws(wires, slice(stride * C, stride * C + ne))))
+        return qe.concat(out)
 
 
 class ReducingGate:
     """Horner accumulation with base-field coefficients (reference
-    plonk/gates/reducing_gate.go:77-110)."""
+    plonk/gates/reducing_gate.go:77-110).  All accumulators are wires, so
+    the chain vectorizes over the coefficient axis."""
 
     def __init__(self, num_coeffs):
         self.num_coeffs = num_coeffs
 
-    def eval(self, consts, wires, pi_hash):
-        start_coeffs = 3 * D
-        alpha = _ea(wires, D)
-        acc = _ea(wires, 2 * D)
-        coeffs = [wires[start_coeffs + i] for i in range(self.num_coeffs)]
-        start_accs = start_coeffs + self.num_coeffs
+    def _accs(self, wires, start_accs):
+        n = self.num_coeffs
+        final = (_w(wires, 0), _w(wires, 1))
+        inters = _ea_cols(wires, start_accs, n - 1)
+        old = (_w(wires, 2 * D), _w(wires, 2 * D + 1))
+        src = (qe.concat([qe.index(old[0], (Ellipsis, None)), inters[0]]),
+               qe.concat([qe.index(old[1], (Ellipsis, None)), inters[1]]))
+        tgt = (qe.concat([inters[0], qe.index(final[0], (Ellipsis, None))]),
+               qe.concat([inters[1], qe.index(final[1], (Ellipsis, None))]))
+        return src, tgt
 
-        constraints = []
-        for i in range(self.num_coeffs):
-            if i == self.num_coeffs - 1:
-                acc_i = _ea(wires, 0)
-            else:
-                acc_i = _ea(wires, start_accs + D * i)
-            coeff_ea = (coeffs[i], qe.zeros(qe.shape_of(coeffs[i])))
-            tmp = qe.ea_sub(qe.ea_add(qe.ea_mul(acc, alpha), coeff_ea), acc_i)
-            constraints.extend([tmp[0], tmp[1]])
-            acc = acc_i
-        return constraints
+    def eval(self, consts, wires, pi_hash):
+        n = self.num_coeffs
+        start_coeffs = 3 * D
+        alpha = (_col(_w(wires, D)), _col(_w(wires, D + 1)))
+        coeffs = _ws(wires, slice(start_coeffs, start_coeffs + n))   # (B, n)
+        src, tgt = self._accs(wires, start_coeffs + n)
+        coeff_ea = (coeffs, qe.zeros(coeffs[0][0].shape))
+        tmp = qe.ea_sub(qe.ea_add(qe.ea_mul(src, alpha), coeff_ea), tgt)
+        return _interleave2(tmp[0], tmp[1])
 
 
 class ReducingExtensionGate:
@@ -323,22 +452,28 @@ class ReducingExtensionGate:
         self.num_coeffs = num_coeffs
 
     def eval(self, consts, wires, pi_hash):
+        n = self.num_coeffs
         start_coeffs = 3 * D
-        alpha = _ea(wires, D)
-        acc = _ea(wires, 2 * D)
-        start_accs = start_coeffs + self.num_coeffs * D
+        alpha = (_col(_w(wires, D)), _col(_w(wires, D + 1)))
+        coeffs = _ea_cols(wires, start_coeffs, n)
+        src, tgt = ReducingGate._accs(self, wires, start_coeffs + n * D)
+        tmp = qe.ea_sub(qe.ea_add(qe.ea_mul(src, alpha), coeffs), tgt)
+        return _interleave2(tmp[0], tmp[1])
 
-        constraints = []
-        for i in range(self.num_coeffs):
-            if i == self.num_coeffs - 1:
-                acc_i = _ea(wires, 0)
-            else:
-                acc_i = _ea(wires, start_accs + D * i)
-            coeff = _ea(wires, start_coeffs + D * i)
-            tmp = qe.ea_sub(qe.ea_add(qe.ea_mul(acc, alpha), coeff), acc_i)
-            constraints.extend([tmp[0], tmp[1]])
-            acc = acc_i
-        return constraints
+
+def _mds12_gl(x):
+    """Width-12 Poseidon MDS on a GL array (..., 12) (shared with the hash
+    path's _mds_layer; reference poseidon/goldilocks.go:203-216)."""
+    return _mds_layer(x)
+
+
+def _mds12_qe(x):
+    """Width-12 MDS over a QE array (..., 12): both components together."""
+    glp = (jnp.stack([x[0][0], x[1][0]], axis=-2),
+           jnp.stack([x[0][1], x[1][1]], axis=-2))            # (..., 2, 12)
+    out = _mds_layer(glp)
+    return ((out[0][..., 0, :], out[1][..., 0, :]),
+            (out[0][..., 1, :], out[1][..., 1, :]))
 
 
 class PoseidonMdsGate:
@@ -348,30 +483,31 @@ class PoseidonMdsGate:
     WIDTH = 12
 
     def eval(self, consts, wires, pi_hash):
-        inputs = [_ea(wires, i * D) for i in range(self.WIDTH)]
-        constraints = []
-        for r in range(self.WIDTH):
-            acc = qe.ea_zeros(qe.shape_of(wires[0]))
-            for i in range(self.WIDTH):
-                coeff = PK.MDS_MATRIX_CIRC[i]
-                term = (qe.scalar_mul_const(inputs[(i + r) % self.WIDTH][0], coeff),
-                        qe.scalar_mul_const(inputs[(i + r) % self.WIDTH][1], coeff))
-                acc = qe.ea_add(acc, term)
-            coeff = PK.MDS_MATRIX_DIAG[r]
-            if coeff:
-                acc = qe.ea_add(acc, (qe.scalar_mul_const(inputs[r][0], coeff),
-                                      qe.scalar_mul_const(inputs[r][1], coeff)))
-            output = _ea(wires, (self.WIDTH + r) * D)
-            diff = qe.ea_sub(output, acc)
-            constraints.extend([diff[0], diff[1]])
-        return constraints
+        W = self.WIDTH
+        inp = _ea_cols(wires, 0, W)                           # ea (B, 12)
+        out = _ea_cols(wires, W * D, W)
+        glp = (jnp.stack([inp[0][0][0], inp[0][1][0],
+                          inp[1][0][0], inp[1][1][0]], axis=-2),
+               jnp.stack([inp[0][0][1], inp[0][1][1],
+                          inp[1][0][1], inp[1][1][1]], axis=-2))  # (B, 4, 12)
+        m = _mds_layer(glp)
+        computed = (((m[0][..., 0, :], m[1][..., 0, :]),
+                     (m[0][..., 1, :], m[1][..., 1, :])),
+                    ((m[0][..., 2, :], m[1][..., 2, :]),
+                     (m[0][..., 3, :], m[1][..., 3, :])))
+        diff = qe.ea_sub(out, computed)
+        return _interleave2(diff[0], diff[1])
 
 
 class PoseidonGate:
     """Full Poseidon permutation as constraints, with S-box inputs pinned to
     witness wires each round (reference plonk/gates/poseidon_gate.go:92-181).
-    Operates on QE values using the same fast-partial-round structure as
-    hash/poseidon_gl.py."""
+
+    Because every round's S-box input is a wire, no round depends on another
+    round's computed output: the four first/second-half full rounds evaluate
+    as one stacked (B, 4, 12) S-box + MDS, and the 22 partial rounds reduce
+    to closed-form linear algebra over the 22 S-box outputs (the sparse
+    w_hat/v updates compose into constant matrices precomputed host-side)."""
 
     WIDTH = 12
     HALF_FULL = 4
@@ -401,119 +537,130 @@ class PoseidonGate:
         return (2 * self.WIDTH + 5 + (self.HALF_FULL - 1) * self.WIDTH
                 + self.N_PARTIAL + round_ * self.WIDTH + i)
 
+    _tables = None
+
+    @classmethod
+    def _consts(cls):
+        if cls._tables is not None:
+            return cls._tables
+        P = gl.P
+        W, NP = cls.WIDTH, cls.N_PARTIAL
+        rc = [PK.ALL_ROUND_CONSTANTS[i] for i in range(30 * W)]
+        rc_first = [[rc[i + W * r] for i in range(W)] for r in range(4)]
+        rc_second = [[rc[i + W * (26 + r)] for i in range(W)] for r in range(4)]
+        # partial-round S-box output constants (applied for r < NP-1)
+        pc = [PK.FAST_PARTIAL_ROUND_CONSTANTS[r] if r < NP - 1 else 0
+              for r in range(NP)]
+        whats = PK.FAST_PARTIAL_ROUND_W_HATS                  # (22, 11)
+        vs = PK.FAST_PARTIAL_ROUND_VS                         # (22, 11)
+        init = PK.FAST_PARTIAL_ROUND_INITIAL_MATRIX           # (11, 11) [r-1][d-1]
+        # init_t[d][r] = init[r][d]: rest_out[d] = sum_r rest_in[r]*init[r][d]
+        init_t = [[init[r][d] % P for r in range(11)] for d in range(11)]
+        # vw[r][j] = what_r . vs_j for j < r (composition of sparse updates)
+        vw = [[0] * NP for _ in range(NP)]
+        for r in range(NP):
+            for j in range(r):
+                vw[r][j] = sum(whats[r][i] * vs[j][i] for i in range(11)) % P
+        # vs_t[i][j] = vs[j][i]: R_final[i] = rest_init[i] + sum_j s0_j*vs[j][i]
+        vs_t = [[vs[j][i] % P for j in range(NP)] for i in range(11)]
+        cls._tables = dict(
+            rc_first=[gl.const_array(r) for r in rc_first],
+            rc_second=[gl.const_array(r) for r in rc_second],
+            first_const=gl.const_array(PK.FAST_PARTIAL_FIRST_ROUND_CONSTANT),
+            pc=gl.const_array(pc),
+            init_t=gl.const_array(init_t),
+            whats=gl.const_array([[x % P for x in row] for row in whats]),
+            vw=gl.const_array(vw),
+            vs_t=gl.const_array(vs_t),
+        )
+        return cls._tables
+
     @staticmethod
     def _sbox(x):
+        """x^7 elementwise on a QE array."""
         x2 = qe.mul(x, x)
         x4 = qe.mul(x2, x2)
         x3 = qe.mul(x, x2)
         return qe.mul(x4, x3)
 
-    def _mds(self, state):
-        out = []
-        for r in range(self.WIDTH):
-            acc = qe.ea_zeros(())  # placeholder; built below
-            acc = None
-            for i in range(self.WIDTH):
-                term = qe.scalar_mul_const(state[(i + r) % self.WIDTH],
-                                           PK.MDS_MATRIX_CIRC[i])
-                acc = term if acc is None else qe.add(acc, term)
-            if PK.MDS_MATRIX_DIAG[r]:
-                acc = qe.add(acc, qe.scalar_mul_const(state[r],
-                                                      PK.MDS_MATRIX_DIAG[r]))
-            out.append(acc)
-        return out
-
     def eval(self, consts, wires, pi_hash):
-        constraints = []
-        one = qe.ones(qe.shape_of(wires[0]))
+        C = self._consts()
+        W, NP = self.WIDTH, self.N_PARTIAL
+        B = wires[0][0].shape[0]
+        out = []
 
-        swap = wires[self.w_swap]
-        constraints.append(qe.mul(swap, qe.sub(swap, one)))
+        swap = _w(wires, self.w_swap)
+        one = qe.ones((B,))
+        out.append(qe.index(qe.mul(swap, qe.sub(swap, one)), (Ellipsis, None)))
 
-        for i in range(4):
-            lhs, rhs = wires[self.w_input(i)], wires[self.w_input(i + 4)]
-            delta = wires[self.w_delta(i)]
-            constraints.append(qe.sub(qe.mul(swap, qe.sub(rhs, lhs)), delta))
+        lhs = _ws(wires, slice(0, 4))
+        rhs = _ws(wires, slice(4, 8))
+        deltas = _ws(wires, slice(self.w_delta(0), self.w_delta(0) + 4))
+        swap_c = _col(swap)
+        out.append(qe.sub(qe.mul(swap_c, qe.sub(rhs, lhs)), deltas))  # (B,4)
 
-        state = [None] * self.WIDTH
-        for i in range(4):
-            delta = wires[self.w_delta(i)]
-            state[i] = qe.add(wires[self.w_input(i)], delta)
-            state[i + 4] = qe.sub(wires[self.w_input(i + 4)], delta)
-        for i in range(8, self.WIDTH):
-            state[i] = wires[self.w_input(i)]
+        # initial state with swaps applied
+        s_lo = qe.add(lhs, deltas)
+        s_hi = qe.sub(rhs, deltas)
+        s_rest = _ws(wires, slice(8, 12))
+        state0 = qe.concat([s_lo, s_hi, s_rest])              # (B, 12)
 
-        round_ctr = 0
-        # first full rounds
-        for r in range(self.HALF_FULL):
-            for i in range(self.WIDTH):
-                state[i] = qe.add(state[i], qe.from_ints(
-                    PK.ALL_ROUND_CONSTANTS[i + self.WIDTH * round_ctr], 0,
-                    qe.shape_of(state[i])))
-            if r != 0:
-                for i in range(self.WIDTH):
-                    sbox_in = wires[self.w_full0(r, i)]
-                    constraints.append(qe.sub(state[i], sbox_in))
-                    state[i] = sbox_in
-            state = [self._sbox(s) for s in state]
-            state = self._mds(state)
-            round_ctr += 1
+        # ---- first full rounds: stack round axis
+        w_full0 = _ws(wires, (Ellipsis, np.asarray(
+            [[self.w_full0(r, i) for i in range(W)] for r in range(1, 4)])))
+        a0 = _add_gl_const(state0, C["rc_first"][0])          # (B, 12)
 
-        # partial rounds
-        for i in range(self.WIDTH):
-            state[i] = qe.add(state[i], qe.from_ints(
-                PK.FAST_PARTIAL_FIRST_ROUND_CONSTANT[i], 0,
-                qe.shape_of(state[i])))
-        # init matrix
-        new_state = [state[0]] + [None] * (self.WIDTH - 1)
-        for d in range(1, self.WIDTH):
-            acc = None
-            for r in range(1, self.WIDTH):
-                t = PK.FAST_PARTIAL_ROUND_INITIAL_MATRIX[r - 1][d - 1]
-                term = qe.scalar_mul_const(state[r], t)
-                acc = term if acc is None else qe.add(acc, term)
-            new_state[d] = acc
-        state = new_state
+        def cat_rounds(first, rest):
+            return ((jnp.concatenate([first[0][0][:, None, :], rest[0][0]], 1),
+                     jnp.concatenate([first[0][1][:, None, :], rest[0][1]], 1)),
+                    (jnp.concatenate([first[1][0][:, None, :], rest[1][0]], 1),
+                     jnp.concatenate([first[1][1][:, None, :], rest[1][1]], 1)))
 
-        for r in range(self.N_PARTIAL):
-            sbox_in = wires[self.w_partial(r)]
-            constraints.append(qe.sub(state[0], sbox_in))
-            state[0] = self._sbox(sbox_in)
-            if r < self.N_PARTIAL - 1:
-                state[0] = qe.add(state[0], qe.from_ints(
-                    PK.FAST_PARTIAL_ROUND_CONSTANTS[r], 0,
-                    qe.shape_of(state[0])))
-            # mds partial layer fast
-            d_acc = qe.scalar_mul_const(state[0], PK.MDS0TO0)
-            for i in range(1, self.WIDTH):
-                d_acc = qe.add(d_acc, qe.scalar_mul_const(
-                    state[i], PK.FAST_PARTIAL_ROUND_W_HATS[r][i - 1]))
-            new_state = [d_acc]
-            for i in range(1, self.WIDTH):
-                new_state.append(qe.add(
-                    qe.scalar_mul_const(state[0],
-                                        PK.FAST_PARTIAL_ROUND_VS[r][i - 1]),
-                    state[i]))
-            state = new_state
-        round_ctr += self.N_PARTIAL
+        Xin = cat_rounds(a0, w_full0)                          # (B, 4, 12)
+        Y = _mds12_qe(self._sbox(Xin))                         # (B, 4, 12)
 
-        # second full rounds
-        for r in range(self.HALF_FULL):
-            for i in range(self.WIDTH):
-                state[i] = qe.add(state[i], qe.from_ints(
-                    PK.ALL_ROUND_CONSTANTS[i + self.WIDTH * round_ctr], 0,
-                    qe.shape_of(state[i])))
-            for i in range(self.WIDTH):
-                sbox_in = wires[self.w_full1(r, i)]
-                constraints.append(qe.sub(state[i], sbox_in))
-                state[i] = sbox_in
-            state = [self._sbox(s) for s in state]
-            state = self._mds(state)
-            round_ctr += 1
+        # constraints for rounds 1..3: Y[:, r-1] + rc_r - wire_r
+        rc_rest = gl.stack([C["rc_first"][r] for r in range(1, 4)], axis=0)
+        pre = _add_gl_const(qe.index(Y, (Ellipsis, slice(0, 3), slice(None))),
+                            rc_rest)
+        out.append(_flatten2(qe.sub(pre, w_full0)))            # (B, 36)
 
-        for i in range(self.WIDTH):
-            constraints.append(qe.sub(state[i], wires[self.w_output(i)]))
-        return constraints
+        # ---- partial rounds
+        t = _add_gl_const(qe.index(Y, (Ellipsis, 3, slice(None))),
+                          C["first_const"])
+        s0_init = qe.index(t, (Ellipsis, 0))
+        rest_init = qe.matmul_const(
+            qe.index(t, (Ellipsis, slice(1, None))), C["init_t"])  # (B, 11)
+
+        wp = _ws(wires, slice(self.w_partial(0), self.w_partial(0) + NP))
+        s0 = _add_gl_const(self._sbox(wp), C["pc"])            # (B, 22)
+        # d_r = MDS0TO0*s0_r + what_r . rest_init + sum_{j<r} vw[r][j]*s0_j
+        d = qe.add(qe.scalar_mul_const(s0, PK.MDS0TO0),
+                   qe.add(qe.matmul_const(rest_init, C["whats"]),
+                          qe.matmul_const(s0, C["vw"])))       # (B, 22)
+        c_part = qe.concat([
+            qe.index(qe.sub(s0_init, qe.index(wp, (Ellipsis, 0))), (Ellipsis, None)),
+            qe.sub(qe.index(d, (Ellipsis, slice(0, NP - 1))),
+                   qe.index(wp, (Ellipsis, slice(1, None))))])
+        out.append(c_part)                                     # (B, 22)
+
+        d_last = qe.index(d, (Ellipsis, NP - 1))
+        R = qe.add(rest_init, qe.matmul_const(s0, C["vs_t"]))  # (B, 11)
+        exit_state = qe.concat([qe.index(d_last, (Ellipsis, None)), R])
+
+        # ---- second full rounds
+        w_full1 = _ws(wires, (Ellipsis, np.asarray(
+            [[self.w_full1(r, i) for i in range(W)] for r in range(4)])))
+        Z = _mds12_qe(self._sbox(w_full1))                     # (B, 4, 12)
+        rc2 = gl.stack(C["rc_second"], axis=0)                 # (4, 12)
+        pre1 = cat_rounds(exit_state, qe.index(Z, (Ellipsis, slice(0, 3),
+                                                   slice(None))))
+        pre1 = _add_gl_const(pre1, rc2)
+        out.append(_flatten2(qe.sub(pre1, w_full1)))           # (B, 48)
+
+        outputs = _ws(wires, slice(self.w_output(0), self.w_output(0) + W))
+        out.append(qe.sub(qe.index(Z, (Ellipsis, 3, slice(None))), outputs))
+        return qe.concat(out)
 
 
 # ---------------------------------------------------------------------------
@@ -569,27 +716,30 @@ def gate_from_id(gate_id):
 def evaluate_gate_constraints(gates, selector_indices, groups,
                               num_gate_constraints, local_constants,
                               local_wires, pi_hash):
-    """Returns num_gate_constraints QE accumulators: filtered, summed gate
-    constraints evaluated at zeta."""
+    """local_constants, local_wires: QE arrays (B, n).  Returns a QE array
+    (B, num_gate_constraints): filtered, summed gate constraints at zeta."""
     num_selectors = len(groups)
-    shape = qe.shape_of(local_constants[0])
-    accum = [qe.zeros(shape) for _ in range(num_gate_constraints)]
+    B = local_constants[0][0].shape[0]
+    accum = qe.zeros((B, num_gate_constraints))
+    consts = qe.index(local_constants,
+                      (Ellipsis, slice(num_selectors, None)))
     for row, gate in enumerate(gates):
         sel_idx = selector_indices[row]
         group_start, group_end = groups[sel_idx]
-        s = local_constants[sel_idx]
-        # filter = prod_{i in group, i != row} (i - s) [* (UNUSED - s)]
-        filt = qe.ones(shape)
-        for i in range(group_start, group_end):
-            if i == row:
-                continue
-            filt = qe.mul(filt, qe.sub(qe.from_ints(i, 0, shape), s))
+        s = _col(qe.index(local_constants, (Ellipsis, sel_idx)))
+        terms = [i for i in range(group_start, group_end) if i != row]
         if num_selectors > 1:
-            filt = qe.mul(filt, qe.sub(qe.from_ints(UNUSED_SELECTOR, 0, shape), s))
+            terms.append(UNUSED_SELECTOR)
+        # filter = prod_i (term_i - s)
+        tconst = _qe_const_arr(terms)
+        filt = qe.prod_axis(qe.sub(tconst, s))                # (B,)
 
-        consts = local_constants[num_selectors:]
-        unfiltered = gate.eval(consts, local_wires, pi_hash)
-        for k, c in enumerate(unfiltered):
-            assert k < num_gate_constraints, "gate produced too many constraints"
-            accum[k] = qe.add(accum[k], qe.mul(c, filt))
+        unfiltered = gate.eval(consts, local_wires, pi_hash)  # (B, k)
+        k = unfiltered[0][0].shape[-1]
+        if k == 0:
+            continue
+        assert k <= num_gate_constraints, "gate produced too many constraints"
+        contrib = qe.mul(unfiltered, _col(filt))
+        head = qe.add(qe.index(accum, (Ellipsis, slice(0, k))), contrib)
+        accum = qe.concat([head, qe.index(accum, (Ellipsis, slice(k, None)))])
     return accum

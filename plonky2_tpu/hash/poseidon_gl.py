@@ -83,21 +83,24 @@ def _sbox(x):
 
 
 def _mds_layer(state):
-    """Circulant MDS via one integer matmul over 16-bit limb planes.
+    """Circulant MDS as a broadcast multiply + log-tree add over 16-bit limb
+    planes.  state: GL of shape (..., 12).  Each product coefficient is
+    <= 49, so column sums stay < 2^26, well within digit capacity.
 
-    state: GL of shape (..., 12).  Each product coefficient is <= 49, so
-    column sums stay < 2^26, well within digit capacity.
+    (Not an einsum/jnp.sum: XLA:CPU compiles integer reduce/dot ops with
+    fused operands pathologically slowly -- see gl.tree_sum.)
     """
-    A = _Consts.get()["mds"]
+    A = jnp.asarray(_Consts.get()["mds"])
     limbs = jnp.stack([state[0] & 0xFFFF, state[0] >> 16,
                        state[1] & 0xFFFF, state[1] >> 16], axis=-1)  # (...,12,4)
-    prod = jnp.einsum("rc,...ck->...rk", A, limbs)  # uint32 (..., 12, 4)
-    digits = [prod[..., k] for k in range(4)]
+    prod = A[:, :, None] * limbs[..., None, :, :]   # (..., 12r, 12c, 4)
+    acc = gl.tree_sum(prod, axis=-2)                # (..., 12, 4)
+    digits = [acc[..., k] for k in range(4)]
     return gl.reduce_digits(digits)
 
 
 def _sum_digits_over_axis(digit_list, axis):
-    return [jnp.sum(d, axis=axis) for d in digit_list]
+    return [gl.tree_sum(d, axis) for d in digit_list]
 
 
 def permute(state):

@@ -4,6 +4,11 @@ Evaluates gate constraints, the Z(zeta) boundary term, and the permutation
 argument's partial-product checks, combines them with the alpha challenges,
 and checks against Z_H(zeta) * t(zeta) -- all as batched QE arithmetic with
 verdict-bit accumulation instead of circuit asserts.
+
+Vectorization: the reference walks the 80 routed wires and the ~145
+alpha-combined terms as scalar loops (plonk/plonk.go:85-119, 188-204); here
+the wires/terms are stacked array axes, the per-chunk products fold in
+log-depth, and the alpha Horner runs as one lax.scan.
 """
 
 from __future__ import annotations
@@ -15,15 +20,10 @@ from ..fields import goldilocks_ext as qe
 from ..gates.gates import evaluate_gate_constraints
 
 
-def _unstack_qe(arr):
-    """QE pair-of-pairs with (B, n) components -> list of n QE (B,) values."""
-    n = arr[0][0].shape[-1]
-    return [((arr[0][0][..., i], arr[0][1][..., i]),
-             (arr[1][0][..., i], arr[1][1][..., i])) for i in range(n)]
-
-
 def verify_plonk(spec, dev, challenges, pi_hash, verdict):
-    """Reference plonk/plonk.go:209-250 (Verify) + 121-207 (evalVanishingPoly)."""
+    """Reference plonk/plonk.go:209-250 (Verify) + 121-207 (evalVanishingPoly).
+
+    dev's op_* entries are stacked QE arrays of shape (B, n)."""
     zeta = challenges["zeta"]
     B = zeta[0][0].shape[0]
 
@@ -32,13 +32,13 @@ def verify_plonk(spec, dev, challenges, pi_hash, verdict):
     for _ in range(spec.degree_bits):
         zeta_pow_n = qe.square(zeta_pow_n)
 
-    local_constants = _unstack_qe(dev["op_constants"])
-    local_wires = _unstack_qe(dev["op_wires"])
-    zs = _unstack_qe(dev["op_plonk_zs"])
-    zs_next = _unstack_qe(dev["op_plonk_zs_next"])
-    sigmas = _unstack_qe(dev["op_plonk_sigmas"])
-    partial_products = _unstack_qe(dev["op_partial_products"])
-    quotient_polys = _unstack_qe(dev["op_quotient_polys"])
+    local_constants = dev["op_constants"]        # (B, n_constants)
+    local_wires = dev["op_wires"]                # (B, num_wires)
+    zs = dev["op_plonk_zs"]                      # (B, nc)
+    zs_next = dev["op_plonk_zs_next"]            # (B, nc)
+    sigmas = dev["op_plonk_sigmas"]              # (B, R)
+    partial_products = dev["op_partial_products"]  # (B, nc*npp)
+    quotient_polys = dev["op_quotient_polys"]    # (B, nc*qdf)
 
     constraint_terms = evaluate_gate_constraints(
         spec.gates(), spec.selector_indices, spec.groups,
@@ -55,55 +55,56 @@ def verify_plonk(spec, dev, challenges, pi_hash, verdict):
     nc = spec.num_challenges
     qdf = spec.quotient_degree_factor
     npp = spec.num_partial_products
+    R = spec.num_routed_wires
+    wires_r = qe.index(local_wires, (Ellipsis, slice(0, R)))
+    k_arr = gl.const_array(list(spec.k_is))
+
+    def col(x):
+        return qe.index(x, (Ellipsis, None))
 
     z1_terms = []
     pp_terms = []
     for i in range(nc):
-        beta = qe.from_base(challenges["plonk_betas"][i])
-        gamma = qe.from_base(challenges["plonk_gammas"][i])
+        beta = col(qe.from_base(challenges["plonk_betas"][i]))
+        gamma = col(qe.from_base(challenges["plonk_gammas"][i]))
         # L_0(zeta) * (Z(zeta) - 1)
-        z1_terms.append(qe.mul(l0_zeta, qe.sub(zs[i], qe.ones((B,)))))
+        z_i = qe.index(zs, (Ellipsis, i))
+        z1_terms.append(qe.mul(l0_zeta, qe.sub(z_i, qe.ones((B,)))))
 
-        numerators, denominators = [], []
-        for j in range(spec.num_routed_wires):
-            # s_id_j = k_j * zeta
-            s_id = qe.scalar_mul_const(zeta, spec.k_is[j])
-            wire_plus_gamma = qe.add(local_wires[j], gamma)
-            numerators.append(qe.add(qe.mul(beta, s_id), wire_plus_gamma))
-            denominators.append(qe.add(qe.mul(beta, sigmas[j]),
-                                       wire_plus_gamma))
+        # s_id_j = k_j * zeta; numer_j = beta*s_id_j + wire_j + gamma
+        # (reference plonk.go:85-119), all routed wires at once
+        s_id = qe.mul_const_arr(col(zeta), k_arr)            # (B, R)
+        wire_plus_gamma = qe.add(wires_r, gamma)
+        numerators = qe.add(qe.mul(beta, s_id), wire_plus_gamma)
+        denominators = qe.add(qe.mul(beta, sigmas), wire_plus_gamma)
 
-        # partial product checks (reference plonk.go:85-119)
-        prod_accs = ([zs[i]]
-                     + partial_products[i * npp:(i + 1) * npp]
-                     + [zs_next[i]])
-        for k in range(npp + 1):
-            start = k * qdf
-            nume = numerators[start]
-            deno = denominators[start]
-            for j in range(1, qdf):
-                nume = qe.mul(nume, numerators[start + j])
-                deno = qe.mul(deno, denominators[start + j])
-            pp_terms.append(qe.sub(qe.mul(prod_accs[k], nume),
-                                   qe.mul(prod_accs[k + 1], deno)))
+        # chunk products of size qdf, folded in log-depth
+        num_prod = qe.prod_axis(qe.reshape(numerators, (B, npp + 1, qdf)))
+        den_prod = qe.prod_axis(qe.reshape(denominators, (B, npp + 1, qdf)))
 
-    vanishing_terms = z1_terms + pp_terms + constraint_terms
+        pps = qe.index(partial_products,
+                       (Ellipsis, slice(i * npp, (i + 1) * npp)))
+        accs = qe.concat([col(z_i), pps, col(qe.index(zs_next, (Ellipsis, i)))])
+        lhs = qe.mul(qe.index(accs, (Ellipsis, slice(0, npp + 1))), num_prod)
+        rhs = qe.mul(qe.index(accs, (Ellipsis, slice(1, None))), den_prod)
+        pp_terms.append(qe.sub(lhs, rhs))                    # (B, npp+1)
 
-    # alpha-combine per challenge, reverse Horner (reference plonk.go:188-204)
+    vanishing_terms = qe.concat(
+        [qe.stack(z1_terms, axis=-1)] + pp_terms + [constraint_terms])
+
+    # alpha-combine per challenge (reference plonk.go:188-204): the scalar
+    # reverse-Horner loop equals sum_i terms[i] * alpha^i
     reduced = []
     for i in range(nc):
         alpha = qe.from_base(challenges["plonk_alphas"][i])
-        acc = qe.zeros((B,))
-        for t in reversed(vanishing_terms):
-            acc = qe.add(t, qe.mul(acc, alpha))
-        reduced.append(acc)
+        reduced.append(qe.horner(vanishing_terms, alpha))
 
     # vanishing[i] == Z_H(zeta) * reduce(quotient chunk i, zeta^n)
     # (reference plonk.go:229-249)
     z_h_zeta = qe.sub(zeta_pow_n, qe.ones((B,)))
-    for i in range(nc):
-        chunk = quotient_polys[i * qdf:(i + 1) * qdf]
-        combined = qe.reduce_with_powers(chunk, zeta_pow_n)
-        rhs = qe.mul(z_h_zeta, combined)
-        verdict = verdict & qe.eq(reduced[i], rhs)
+    chunks = qe.reshape(quotient_polys, (B, nc, qdf))
+    combined = qe.horner(chunks, col(zeta_pow_n))            # (B, nc)
+    rhs = qe.mul(col(z_h_zeta), combined)
+    lhs = qe.stack(reduced, axis=-1)                         # (B, nc)
+    verdict = verdict & jnp.all(qe.eq(lhs, rhs), axis=-1)
     return verdict

@@ -65,7 +65,7 @@ def make_dummy_proof(spec, seed=0):
         "op_partial_products": glv(spec.num_challenges * spec.num_partial_products, 2),
         "op_quotient_polys": glv(spec.num_quotient_polys, 2),
         "final_poly": glv(spec.final_poly_len, 2),
-        "pow_witness": glv(()),
+        "pow_witness": glv(),
     }
 
     def digest(x):

@@ -20,25 +20,28 @@ NUM_SELECTORS = 3
 
 
 def qe_pack(pairs):
-    """[[c0, c1], ...] -> list of QE values with batch shape (1,)."""
-    out = []
-    for c0, c1 in pairs:
-        a = np.array([c0], dtype=np.uint64)
-        b = np.array([c1], dtype=np.uint64)
-        out.append((
-            ((a & 0xFFFFFFFF).astype(np.uint32), (a >> np.uint64(32)).astype(np.uint32)),
-            ((b & 0xFFFFFFFF).astype(np.uint32), (b >> np.uint64(32)).astype(np.uint32)),
-        ))
-    return out
+    """[[c0, c1], ...] -> stacked QE array with shape (1, n)."""
+    a = np.array([[c0 for c0, _ in pairs]], dtype=np.uint64)
+    b = np.array([[c1 for _, c1 in pairs]], dtype=np.uint64)
+
+    def split(x):
+        return ((x & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (x >> np.uint64(32)).astype(np.uint32))
+
+    return (split(a), split(b))
 
 
-def qe_unpack_one(v):
+def qe_unpack(arr):
+    """Stacked QE array (1, n) -> list of [c0, c1] python-int pairs."""
     def u(x):
-        return int(np.asarray(x[0], np.uint64)[0]) | (int(np.asarray(x[1], np.uint64)[0]) << 32)
-    return [u(v[0]), u(v[1])]
+        return (np.asarray(x[0], np.uint64)[0]
+                | (np.asarray(x[1], np.uint64)[0] << np.uint64(32)))
+    c0 = u(arr[0])
+    c1 = u(arr[1])
+    return [[int(a), int(b)] for a, b in zip(c0, c1)]
 
 
-CONSTS = qe_pack(FIX["localConstants"])[NUM_SELECTORS:]
+CONSTS = qe_pack(FIX["localConstants"][NUM_SELECTORS:])
 WIRES = qe_pack(FIX["localWires"])
 PIH = (np.zeros((1, 4), np.uint32), np.zeros((1, 4), np.uint32))
 
@@ -69,8 +72,8 @@ CASES = [
 @pytest.mark.parametrize("gate,key", CASES, ids=[k for _, k in CASES])
 def test_gate_golden(gate, key):
     fn = jax.jit(lambda c, w, p: gate.eval(c, w, p))
-    got = fn(CONSTS, WIRES, PIH)
+    got = qe_unpack(fn(CONSTS, WIRES, PIH))
     want = FIX[key]
     assert len(got) == len(want), (len(got), len(want))
     for i, (g, w) in enumerate(zip(got, want)):
-        assert qe_unpack_one(g) == w, (key, i, qe_unpack_one(g), w)
+        assert g == w, (key, i, g, w)
