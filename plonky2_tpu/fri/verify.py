@@ -140,8 +140,10 @@ def verify_fri(spec, dev, challenges, verdict):
         ok = (pr[1] == 0) & (pr[0] < jnp.uint32(1 << max_bits))
     elif max_bits == 32:
         ok = pr[1] == 0
-    else:
+    elif max_bits < 64:
         ok = pr[1] < jnp.uint32(1 << (max_bits - 32))
+    else:  # pow_bits == 0: any canonical value passes
+        ok = jnp.ones(pr[0].shape, bool)
     verdict = verdict & ok
 
     # --- precomputed reduced openings (reference fri/fri.go:82-95)

@@ -50,6 +50,8 @@ def make_dummy_proof(spec, seed=0):
     rng = np.random.default_rng(seed)
 
     def glv(*shape):
+        if not shape:
+            return np.uint64(rng.integers(0, 1 << 30))
         return rng.integers(0, 1 << 30, size=shape).astype(np.uint64)
 
     Q = spec.num_query_rounds
