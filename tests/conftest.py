@@ -9,8 +9,15 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"  # the sandbox presets JAX_PLATFORMS=axon
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# CPU runs only need correctness: level-1 LLVM optimization cuts XLA:CPU
+# compile time of the big integer graphs here by >10x (the default pipeline
+# spends minutes on them).  Level 0 is NOT usable: executables built at
+# level 0 hang at dispatch on this image (same class of bug as the AOT-cache
+# note below).
+if "xla_backend_optimization_level" not in flags:
+    flags = flags + " --xla_backend_optimization_level=1"
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
