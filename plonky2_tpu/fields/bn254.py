@@ -70,32 +70,36 @@ def zeros(shape=()):
 # Device ops
 # ---------------------------------------------------------------------------
 
-def _carry_propagate(digits):
-    """Redundant uint32 columns -> clean 16-bit limbs (list), plus carry-out."""
-    out = []
-    carry = jnp.zeros(digits[0].shape, _U32)
-    for d in digits:
+def _carry_propagate_stack(dstack):
+    """Redundant uint32 columns (K, ...) -> clean 16-bit limbs, via one scan
+    body (the unrolled chain costs ~100 HLO ops per call site; the scan ~6)."""
+    import jax
+
+    def step(carry, d):
         t = d + carry
-        out.append(t & _MASK)
-        carry = t >> LIMB_BITS
-    return out, carry
+        return t >> LIMB_BITS, t & _MASK
+
+    carry, clean = jax.lax.scan(
+        step, jnp.zeros(dstack.shape[1:], _U32), dstack)
+    return clean, carry
 
 
-def _cond_sub_p(limbs):
-    """limbs (< 2p, 16 clean limbs) -> canonical < p; one conditional subtract."""
-    diff = []
-    borrow = jnp.zeros(limbs[0].shape, _U32)
-    for k in range(NUM_LIMBS):
-        t = limbs[k] - _U32(P_LIMBS[k]) - borrow  # in uint32, may wrap
-        # borrow iff limbs[k] < P_LIMBS[k] + borrow (all < 2^17)
-        borrow = (limbs[k] < (_U32(P_LIMBS[k]) + borrow)).astype(_U32)
-        diff.append(t & _MASK)
+def _cond_sub_p_stack(limbs):
+    """limbs (16, ...) clean, < 2p -> canonical < p; one conditional subtract."""
+    import jax
+
+    p_rows = jnp.asarray(_P_LIMBS_NP)  # (16,), scanned as scalars
+
+    def step(borrow, xs):
+        l, pk = xs
+        d = (l - pk - borrow) & _MASK
+        nb = (l < pk + borrow).astype(_U32)
+        return nb, d
+
+    borrow, diff = jax.lax.scan(
+        step, jnp.zeros(limbs.shape[1:], _U32), (limbs, p_rows))
     ge = borrow == 0  # no final borrow => limbs >= p
-    return [jnp.where(ge, d, o) for d, o in zip(diff, limbs)]
-
-
-def _stack(limbs):
-    return jnp.stack(limbs, axis=-1)
+    return jnp.where(ge, diff, limbs)
 
 
 import numpy as _np
@@ -140,9 +144,9 @@ def mont_mul(a, b):
 
     t, _ = jax.lax.scan(step, jnp.zeros(shape + (NUM_LIMBS + 1,), _U32),
                         ai_seq)
-    clean, _ = _carry_propagate([t[..., k] for k in range(NUM_LIMBS + 1)])
+    clean, _ = _carry_propagate_stack(jnp.moveaxis(t, -1, 0))
     # result < 2p < 2^256 so column 16 and the final carry are zero.
-    return _stack(_cond_sub_p(clean[:NUM_LIMBS]))
+    return jnp.moveaxis(_cond_sub_p_stack(clean[:NUM_LIMBS]), 0, -1)
 
 
 def mont_sqr(a):
@@ -151,10 +155,10 @@ def mont_sqr(a):
 
 def add(a, b):
     """Modular addition (works in either domain); canonical inputs."""
-    digits = [a[..., k] + b[..., k] for k in range(NUM_LIMBS)]
-    clean, carry = _carry_propagate(digits)
+    digits = jnp.moveaxis(a + b, -1, 0)
+    clean, carry = _carry_propagate_stack(digits)
     # a+b < 2p < 2^255 so carry == 0
-    return _stack(_cond_sub_p(clean))
+    return jnp.moveaxis(_cond_sub_p_stack(clean), 0, -1)
 
 
 def eq(a, b):

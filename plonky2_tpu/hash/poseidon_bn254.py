@@ -112,8 +112,29 @@ def _mix(state, matrix):
     return acc
 
 
+def _use_pallas():
+    """The Pallas kernel is the TPU path; jnp scans remain the portable one.
+
+    Env override PLONKY2_TPU_PB_KERNEL=0/1 forces the choice (e.g. for
+    interpret-mode parity tests or TPU A/B benchmarks)."""
+    import os
+    flag = os.environ.get("PLONKY2_TPU_PB_KERNEL")
+    if flag is not None:
+        return flag not in ("0", "false")
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def permute(state):
     """Full Poseidon-BN254 permutation; state (..., 4, 16) uint32, Montgomery."""
+    if _use_pallas():
+        from ..kernels.poseidon_bn254_pallas import permute as _pp
+        return _pp(state)
+    return _permute_jnp(state)
+
+
+def _permute_jnp(state):
+    """Portable jnp/lax.scan permutation (CPU tests, kernel cross-checks)."""
     C = _Consts.get()
     state = bn254.add(state, C["ark0"])
 

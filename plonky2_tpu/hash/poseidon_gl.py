@@ -167,12 +167,33 @@ def hash_no_pad(inputs, n_outputs=HASH_SIZE):
     n = inputs[0].shape[-1]
     batch_shape = inputs[0].shape[:-1]
     state = gl.zeros(batch_shape + (WIDTH,))
-    for i in range(0, n, RATE):
-        k = min(RATE, n - i)
-        lo = jnp.concatenate([inputs[0][..., i:i + k],
-                              state[0][..., k:]], axis=-1)
-        hi = jnp.concatenate([inputs[1][..., i:i + k],
-                              state[1][..., k:]], axis=-1)
-        state = permute((lo, hi))
     assert n_outputs <= RATE
+    if n == 0:
+        return (state[0][..., :n_outputs], state[1][..., :n_outputs])
+
+    # absorb as ONE scan over rate-size blocks (compile-friendly: a single
+    # permute body regardless of input length), masking the slots the final
+    # partial block does not overwrite
+    n_blocks = -(-n // RATE)
+    pad = n_blocks * RATE - n
+    lo = jnp.concatenate(
+        [inputs[0], jnp.zeros(batch_shape + (pad,), jnp.uint32)], axis=-1)
+    hi = jnp.concatenate(
+        [inputs[1], jnp.zeros(batch_shape + (pad,), jnp.uint32)], axis=-1)
+    blocks = (jnp.moveaxis(lo.reshape(batch_shape + (n_blocks, RATE)), -2, 0),
+              jnp.moveaxis(hi.reshape(batch_shape + (n_blocks, RATE)), -2, 0))
+    mask = np.arange(n_blocks * RATE).reshape(n_blocks, RATE) < n
+
+    def absorb(state, xs):
+        blo, bhi, m = xs
+        lo = jnp.concatenate(
+            [jnp.where(m, blo, state[0][..., :RATE]), state[0][..., RATE:]],
+            axis=-1)
+        hi = jnp.concatenate(
+            [jnp.where(m, bhi, state[1][..., :RATE]), state[1][..., RATE:]],
+            axis=-1)
+        return permute((lo, hi)), None
+
+    state, _ = jax.lax.scan(absorb, state,
+                            (blocks[0], blocks[1], jnp.asarray(mask)))
     return (state[0][..., :n_outputs], state[1][..., :n_outputs])

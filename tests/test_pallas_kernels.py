@@ -1,0 +1,39 @@
+"""Parity tests: Pallas kernels vs the portable jnp implementations.
+
+Kernels run in interpret mode on CPU here; on TPU hardware the same kernel
+code is the production path (hash/poseidon_bn254.permute dispatch).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from plonky2_tpu.fields import bn254
+from plonky2_tpu.hash import poseidon_bn254 as pbj
+from plonky2_tpu.kernels import poseidon_bn254_pallas as pk
+
+
+def _random_states(n, seed=0):
+    rng = np.random.default_rng(seed)
+    state = np.zeros((n, 4, 16), np.uint32)
+    ints = rng.integers(0, 1 << 62, size=(n, 4))
+    # include boundary values: 0, 1, p-1
+    ints[0, :3] = [0, 1, 0]
+    state_ints = ints.tolist()
+    state_ints[0][2] = bn254.P - 1
+    for i in range(n):
+        for j in range(4):
+            state[i, j] = bn254.int_to_mont_limbs(int(state_ints[i][j]))
+    return jnp.asarray(state)
+
+
+def test_poseidon_bn254_kernel_matches_jnp():
+    st = _random_states(5)
+    ref = np.asarray(pbj._permute_jnp(st))
+    got = np.asarray(pk.permute(st, interpret=True))
+    assert np.array_equal(ref, got)
+
+
+def test_poseidon_bn254_kernel_batched_shapes():
+    st = _random_states(6).reshape(3, 2, 4, 16)
+    ref = np.asarray(pbj._permute_jnp(st))
+    got = np.asarray(pk.permute(st, interpret=True))
+    assert np.array_equal(ref, got)

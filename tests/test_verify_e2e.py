@@ -4,6 +4,10 @@
   verifier/verifier_test.go, fri/fri_test.go, plonk/plonk_test.go).
 - corrupting any proof component must flip the verdict to False
   (the native analog of gnark assert failures).
+
+All decode_block cases (valid + 3 corruptions) run as ONE batch so the
+verifier compiles once per fixture: invalidity is data, and a batch mixing
+valid and invalid proofs is exactly the production shape.
 """
 import copy
 
@@ -23,44 +27,34 @@ def load(name):
     return spec, proof
 
 
-@pytest.mark.parametrize("name", ["decode_block", "step"])
-def test_verify_valid(name):
-    spec, proof = load(name)
+def test_verify_step_valid():
+    spec, proof = load("step")
     assert verifier.verify_one(spec, proof)
 
 
-def test_reject_corrupted_opening():
+def test_decode_block_valid_and_corrupted_batch():
     spec, proof = load("decode_block")
-    bad = copy.deepcopy(proof)
-    bad["op_wires"] = bad["op_wires"].copy()
-    bad["op_wires"][3, 0] ^= np.uint64(1)
-    batch = serde.stack_proofs([proof, bad])
-    got = verifier.verify_batch(spec, batch)
-    assert got.tolist() == [True, False]
 
+    bad_opening = copy.deepcopy(proof)
+    bad_opening["op_wires"] = bad_opening["op_wires"].copy()
+    bad_opening["op_wires"][3, 0] ^= np.uint64(1)
 
-def test_reject_corrupted_merkle_leaf():
-    spec, proof = load("decode_block")
-    bad = copy.deepcopy(proof)
-    # corrupting a leaf element breaks its Merkle digest
-    bad["init_leaves_1"] = bad["init_leaves_1"].copy()
-    bad["init_leaves_1"][0, 5] ^= np.uint64(1)
-    # keep the packed blocks consistent with the corrupted leaf so the
-    # failure comes from the Merkle check, not ingest inconsistency
+    # corrupting a leaf element breaks its Merkle digest; keep the packed
+    # blocks consistent with the corrupted leaf so the failure comes from
+    # the Merkle check, not ingest inconsistency
+    bad_leaf = copy.deepcopy(proof)
+    bad_leaf["init_leaves_1"] = bad_leaf["init_leaves_1"].copy()
+    bad_leaf["init_leaves_1"][0, 5] ^= np.uint64(1)
     from plonky2_tpu.proof.serde import _pack_leaf_mont
-    blocks = _pack_leaf_mont([int(x) for x in bad["init_leaves_1"][0]])
-    pk = bad["init_leaf_packed"].copy()
+    blocks = _pack_leaf_mont([int(x) for x in bad_leaf["init_leaves_1"][0]])
+    pk = bad_leaf["init_leaf_packed"].copy()
     for t, (block, _) in enumerate(blocks):
         pk[0, 1, t] = block
-    bad["init_leaf_packed"] = pk
-    batch = serde.stack_proofs([bad])
+    bad_leaf["init_leaf_packed"] = pk
+
+    bad_pow = copy.deepcopy(proof)
+    bad_pow["pow_witness"] = bad_pow["pow_witness"] ^ np.uint64(1)
+
+    batch = serde.stack_proofs([proof, bad_opening, bad_leaf, bad_pow])
     got = verifier.verify_batch(spec, batch)
-    assert got.tolist() == [False]
-
-
-def test_reject_corrupted_pow():
-    spec, proof = load("decode_block")
-    bad = copy.deepcopy(proof)
-    bad["pow_witness"] = bad["pow_witness"] ^ np.uint64(1)
-    got = verifier.verify_batch(spec, serde.stack_proofs([bad]))
-    assert got.tolist() == [False]
+    assert got.tolist() == [True, False, False, False]
