@@ -339,30 +339,27 @@ def _nsquare(a, n):
     return out
 
 
-_P_MINUS_2_BITS_MSB = [(P - 2) >> i & 1 for i in reversed(range(64))]
-
-
 def inv(a):
     """a^(p-2); returns 0 for input 0 (matches gnark-crypto Inverse hint
     semantics used at reference goldilocks/base.go:316-336).
 
-    One MSB-first square-and-multiply scan over the constant exponent bit
-    schedule: the traced graph per inversion call site is a single
-    square+multiply+select body (~1k HLO ops), an order of magnitude
-    smaller than an unrolled addition chain -- inversions sit on small
-    tensors, so the extra ~55 multiplies are runtime noise while compile
-    time is the binding constraint."""
-    import jax
-
-    bits = jnp.asarray(_P_MINUS_2_BITS_MSB, dtype=jnp.uint32)
-
-    def body(acc, bit):
-        acc = mul(acc, acc)
-        with_mul = mul(acc, a)
-        return select(bit.astype(bool), with_mul, acc), None
-
-    acc, _ = jax.lax.scan(body, ones(jnp.shape(a[0])), bits)
-    return acc
+    Fermat chain specialized to p-2 = 2^64 - 2^32 - 1: with
+    t31 = a^(2^31-1), the result is t31^(2^33) * t31^2 * a, built from
+    2^k-1 ladder steps.  64 squarings + 10 multiplies total; the squaring
+    runs are `lax.scan`s (_nsquare), so each inversion call site traces to
+    ~14 small bodies -- compile-compact AND ~40% fewer multiplies than a
+    generic MSB square-and-multiply scan."""
+    t2 = mul(_nsquare(a, 1), a)        # 2^2 - 1
+    t4 = mul(_nsquare(t2, 2), t2)      # 2^4 - 1
+    t8 = mul(_nsquare(t4, 4), t4)      # 2^8 - 1
+    t16 = mul(_nsquare(t8, 8), t8)     # 2^16 - 1
+    t24 = mul(_nsquare(t16, 8), t8)    # 2^24 - 1
+    t28 = mul(_nsquare(t24, 4), t4)    # 2^28 - 1
+    t30 = mul(_nsquare(t28, 2), t2)    # 2^30 - 1
+    t31 = mul(_nsquare(t30, 1), a)     # 2^31 - 1
+    x32 = mul(_nsquare(t31, 1), a)     # 2^32 - 1
+    # (2^31-1)*2^33 + (2^32-1) == 2^64 - 2^32 - 1 == p - 2
+    return mul(_nsquare(t31, 33), x32)
 
 
 # ---------------------------------------------------------------------------

@@ -23,17 +23,7 @@ from ..fields import goldilocks as gl
 from ..fields import goldilocks_ext as qe
 from ..fields import bn254
 from ..hash import poseidon_bn254 as pb
-from ..proof.serde import leaf_layout
-
-
-def _absorb_slot_masks(n_elems, n_chunks):
-    """Slot overwrite masks for HashNoPad of n_elems GL elements."""
-    mask = np.zeros((n_chunks, 3), dtype=bool)
-    for t in range(n_chunks):
-        rem = n_elems - 9 * t
-        for s in range(3):
-            mask[t, s] = rem > 3 * s
-    return mask
+from ..proof.serde import leaf_layout, absorb_slot_masks
 
 
 def _bits_to_index(bits):
@@ -160,12 +150,21 @@ def verify_fri(spec, dev, challenges, verdict):
     x_index = challenges["query_indices"]           # GL pair (B, Q)
     bits = gl.to_bits(x_index, 64)[:lde_bits]
     cap_bits = bits[lde_bits - spec.cap_height:]
-    cap_index = _bits_to_index(cap_bits)            # (B, Q)
+    if cap_bits:
+        cap_index = _bits_to_index(cap_bits)        # (B, Q)
+    else:  # cap_height == 0: single-entry cap
+        cap_index = jnp.zeros(x_index[0].shape, jnp.uint32)
 
     # --- initial tree Merkle proofs (reference fri/fri.go:146-157)
     layout = leaf_layout(spec)
     leaf_digests = _hash_leaves_scan(dev["init_leaf_packed"],
                                      layout.slot_mask, layout.active)
+    if layout.noop.any():
+        # HashOrNoop (reference poseidon/bn254.go:79-94): a <=3-element leaf's
+        # digest is its packed value -- static per-oracle select.
+        packed0 = dev["init_leaf_packed"][:, :, :, 0, 0, :]   # (B, Q, 4, 16)
+        noop = jnp.asarray(layout.noop)[None, None, :, None]
+        leaf_digests = jnp.where(noop, packed0, leaf_digests)
     bits4 = [jnp.broadcast_to(b[..., None], b.shape + (4,)) for b in bits]
     roots = _merkle_chain(leaf_digests, dev["init_siblings"], bits4,
                           spec.initial_tree_depth)   # (B, Q, 4, 16)
@@ -250,8 +249,9 @@ def verify_fri(spec, dev, challenges, verdict):
 
         # Merkle check of step evals against commit cap j
         depth = spec.step_tree_depths[j]
-        n_chunks = dev[f"step{j}_leaf_packed"].shape[2]
-        smask = _absorb_slot_masks(arity * 2, n_chunks)
+        smask = absorb_slot_masks(arity * 2)
+        n_chunks = smask.shape[0]
+        assert n_chunks == dev[f"step{j}_leaf_packed"].shape[2]
         leaf_digest = _hash_leaves_scan(
             dev[f"step{j}_leaf_packed"][:, :, None],
             smask[None], np.ones((1, n_chunks), bool))[..., 0, :]

@@ -10,12 +10,28 @@ VMEM in one kernel launch:
 
   state (4, 16, T): 4 field elements x 16 limbs x T hash lanes.
 
-Montgomery multiplication is the same redundant-column CIOS as the jnp path
-(fields/bn254.py): 16 outer iterations with uint32 column accumulators and
-no inner carry chain; one carry propagation + conditional subtract at the
-end.  Full rounds run as two `fori_loop`s over stacked per-round constants,
-partial rounds as one `fori_loop` over 56 rounds, so the Mosaic graph stays
-compact while the hot loop never leaves VMEM.
+Two TPU-specific designs drive the math:
+
+1. **Relaxed domain.** Between rounds, elements live in [0, 2p) as clean
+   16-bit limbs (2p < 2^256 fits 16 limbs).  Montgomery products of such
+   inputs stay < 2p without any conditional subtract (a,b < 2p => out <
+   p + 4p^2/R < 2p since p < 0.19*2^256), so the per-multiply canonicalize
+   chain disappears; a single conditional subtract of 2p runs only after
+   fused accumulations that can reach 4p, and a final subtract of p
+   canonicalizes the permutation output bit-exactly.
+
+2. **Fused multi-product CIOS.** The MDS row `out_i = sum_j M[j][i]*s_j`
+   runs as ONE Montgomery pass whose iterations accumulate all four limb
+   products before forming the quotient digit, so four multiplies share a
+   single column-accumulator, carry chain, and subtract.  Additive terms
+   (round constants, the sparse partial-round updates) are folded into the
+   redundant accumulator before the carry chain for free.
+
+Mosaic constraints shape the code: dynamic_slice on *values* has no TPU
+lowering, so the 16 CIOS iterations and all carry/borrow chains are
+statically unrolled (static slices + concatenate, which do lower), while
+the three round loops stay `fori_loop`s whose per-round constants are
+loaded from input refs with a dynamic leading index (supported on refs).
 """
 
 from __future__ import annotations
@@ -39,6 +55,12 @@ FULL_HALF = pbj.FULL_ROUNDS // 2
 PARTIAL = pbj.PARTIAL_ROUNDS
 
 LANE_TILE = 512  # hash lanes per grid step (multiple of 128)
+
+_P_INT_LIMBS = [int(x) for x in bn254.P_LIMBS]
+_2P_INT_LIMBS = [((2 * bn254.P) >> (LIMB_BITS * k)) & _MASK
+                 for k in range(NUM_LIMBS)]
+_N0_INV = np.uint32(bn254.N0_INV)
+_P_COL = np.asarray(bn254.P_LIMBS, dtype=np.uint32)[:, None]      # (16, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -68,84 +90,93 @@ def _kernel_consts():
     )
 
 
-_P_COL = np.asarray(bn254.P_LIMBS, dtype=np.uint32)[:, None]      # (16, 1)
-_N0_INV = np.uint32(bn254.N0_INV)
-
-
 # ---------------------------------------------------------------------------
-# In-kernel field ops on (16, T) uint32 limb planes.  Built as a closure
-# over the prime-limb column (a kernel input: Pallas kernels cannot capture
-# array constants).
+# In-kernel field ops on (16, T) uint32 limb planes.  All limb loops are
+# statically unrolled (Mosaic has no dynamic_slice-on-value lowering).
 # ---------------------------------------------------------------------------
 
-def _field_ops(p_col):
-    def cond_sub_p(limbs):
-        """(16, T) clean limbs < 2p -> canonical < p."""
-        T = limbs.shape[-1]
+def _cond_sub(limbs, mod_int_limbs):
+    """(16, T) clean limbs, value < 2*mod -> value < mod.  Unrolled borrow."""
+    diff = []
+    borrow = None
+    for k in range(NUM_LIMBS):
+        mk = _U32(mod_int_limbs[k])
+        row = limbs[k:k + 1]
+        if borrow is None:
+            d = (row - mk) & _MASK
+            borrow = (row < mk).astype(_U32)
+        else:
+            mkb = mk + borrow
+            d = (row - mkb) & _MASK
+            borrow = (row < mkb).astype(_U32)
+        diff.append(d)
+    ge = borrow == 0  # no final borrow => limbs >= mod
+    return jnp.where(ge, jnp.concatenate(diff, 0), limbs)
 
-        def sub_step(k, st):
-            diff, borrow = st
-            row = jax.lax.dynamic_slice_in_dim(limbs, k, 1, 0)
-            pk = jax.lax.dynamic_slice_in_dim(p_col, k, 1, 0)
-            d = (row - pk - borrow) & _MASK
-            borrow = (row < pk + borrow).astype(_U32)
-            diff = jax.lax.dynamic_update_slice_in_dim(diff, d, k, 0)
-            return (diff, borrow)
 
-        diff, borrow = jax.lax.fori_loop(
-            0, NUM_LIMBS, sub_step,
-            (jnp.zeros_like(limbs), jnp.zeros((1, T), _U32)))
-        ge = borrow[0:1] == 0  # no final borrow => limbs >= p
-        return jnp.where(ge, diff, limbs)
+def _carry(t):
+    """Redundant columns (17, T) -> clean (16, T) limbs of the same value.
 
-    def carry_and_reduce(t):
-        """Redundant columns (17, T) -> canonical (16, T) limbs (< p)."""
-        T = t.shape[-1]
+    Caller guarantees value < 2^256 (i.e. < 4p), so limb 16 and the final
+    carry vanish.  Columns are < 2^24 by the CIOS bound, so one unrolled
+    ripple pass suffices."""
+    clean = []
+    carry = None
+    for k in range(NUM_LIMBS + 1):
+        row = t[k:k + 1] if carry is None else t[k:k + 1] + carry
+        clean.append(row & _MASK)
+        carry = row >> LIMB_BITS
+    return jnp.concatenate(clean[:NUM_LIMBS], 0)
 
-        def carry_step(k, st):
-            t, carry = st
-            row = jax.lax.dynamic_slice_in_dim(t, k, 1, 0) + carry
-            t = jax.lax.dynamic_update_slice_in_dim(t, row & _MASK, k, 0)
-            return (t, row >> LIMB_BITS)
 
-        t, _ = jax.lax.fori_loop(0, NUM_LIMBS + 1, carry_step,
-                                 (t, jnp.zeros((1, T), _U32)))
-        return cond_sub_p(t[:NUM_LIMBS])
+def _multi_cios(pairs, p_col, extra=None):
+    """One Montgomery pass over sum_j a_j*b_j (+ extra), redundant output.
 
-    def mont_mul(a, b):
-        """Montgomery product of (16, T) canonical limb planes."""
-        a, b = jnp.broadcast_arrays(a, b)
-        T = a.shape[-1]
-        zero1 = jnp.zeros((1, T), _U32)
+    pairs: list of (a, b) limb planes, a indexed per-iteration (so its limbs
+    must be clean), values < 2p (a) and < 2p or < p (b).  extra: optional
+    (16, ...) clean limb plane folded in after the pass.  Returns the
+    (17, T) redundant accumulator of value (sum_j a_j b_j)/R + k*p + extra;
+    for <=4 pairs of <2p operands the value is < 4p and columns < 2^24."""
+    T = max(max(a.shape[-1], b.shape[-1]) for a, b in pairs)
+    z1 = jnp.zeros((1, T), _U32)
+    t = jnp.zeros((NUM_LIMBS + 1, T), _U32)
+    for i in range(NUM_LIMBS):
+        for a, b in pairs:
+            prod = a[i:i + 1] * b                           # (16, T)
+            t = (t + jnp.concatenate([prod & _MASK, z1], 0)
+                 + jnp.concatenate([z1, prod >> LIMB_BITS], 0))
+        m = (t[0:1] * _N0_INV) & _MASK                      # (1, T)
+        q = m * p_col                                       # (16, T)
+        t = (t + jnp.concatenate([q & _MASK, z1], 0)
+             + jnp.concatenate([z1, q >> LIMB_BITS], 0))
+        carry0 = t[0:1] >> LIMB_BITS
+        t = jnp.concatenate([t[1:2] + carry0, t[2:], z1], 0)
+    if extra is not None:
+        t = t + jnp.concatenate(
+            [jnp.broadcast_to(extra, (NUM_LIMBS,) + extra.shape[1:]),
+             jnp.zeros((1,) + extra.shape[1:], _U32)], 0)
+    return t
 
-        def step(i, t):
-            ai = jax.lax.dynamic_slice_in_dim(a, i, 1, 0)      # (1, T)
-            prod = ai * b                                       # (16, T)
-            t = (t + jnp.concatenate([prod & _MASK, zero1], 0)
-                 + jnp.concatenate([zero1, prod >> LIMB_BITS], 0))
-            m = (t[0:1] * _N0_INV) & _MASK                      # (1, T)
-            q = m * p_col                                       # (16, T)
-            t = (t + jnp.concatenate([q & _MASK, zero1], 0)
-                 + jnp.concatenate([zero1, q >> LIMB_BITS], 0))
-            carry0 = t[0:1] >> LIMB_BITS
-            return jnp.concatenate([t[1:2] + carry0, t[2:], zero1], 0)
 
-        t = jax.lax.fori_loop(0, NUM_LIMBS, step,
-                              jnp.zeros((NUM_LIMBS + 1, T), _U32))
-        return carry_and_reduce(t)
+def _mont_mul_relaxed(a, b, p_col, extra=None):
+    """a*b*R^-1 (+extra) with inputs < 2p.  Output < 2p (extra=None) or
+    needs a _cond_sub(2p) by the caller when extra pushes it past 2p."""
+    return _carry(_multi_cios([(a, b)], p_col, extra=extra))
 
-    def add(a, b):
-        """Modular addition of canonical (16, T) limb planes."""
-        a, b = jnp.broadcast_arrays(a, b)
-        return carry_and_reduce(
-            jnp.concatenate([a + b, jnp.zeros((1, a.shape[-1]), _U32)], 0))
 
-    def exp5(x):
-        x2 = mont_mul(x, x)
-        x4 = mont_mul(x2, x2)
-        return mont_mul(x4, x)
+def _exp5_ark(x, ark, p_col):
+    """x^5 + ark for x < 2p; output < 2p (ark fused into the last product,
+    then one conditional subtract of 2p)."""
+    x2 = _mont_mul_relaxed(x, x, p_col)
+    x4 = _mont_mul_relaxed(x2, x2, p_col)
+    x5a = _mont_mul_relaxed(x4, x, p_col, extra=ark)   # < 2p + p
+    return _cond_sub(x5a, _2P_INT_LIMBS)
 
-    return mont_mul, add, exp5
+
+def _exp5(x, p_col):
+    x2 = _mont_mul_relaxed(x, x, p_col)
+    x4 = _mont_mul_relaxed(x2, x2, p_col)
+    return _mont_mul_relaxed(x4, x, p_col)
 
 
 # ---------------------------------------------------------------------------
@@ -154,23 +185,27 @@ def _field_ops(p_col):
 
 def _kernel(p_ref, ark0_ref, arks_f_ref, mats_f_ref, part_c_ref, s_row_ref,
             s_col_ref, arks_s_ref, mats_s_ref, state_ref, out_ref):
-    _mont_mul, _add, _exp5 = _field_ops(p_ref[:])
-    s = [state_ref[j] for j in range(WIDTH)]              # 4 x (16, T)
-    s = [_add(x, ark0_ref[j]) for j, x in enumerate(s)]
+    p_col = p_ref[:]
+    T = state_ref.shape[-1]
+    z1 = jnp.zeros((1, T), _U32)
+
+    def add_ark0(x, ark):
+        # canonical + canonical < 2p: carry only, stays in relaxed domain
+        return _carry(jnp.concatenate([x + ark, z1], 0))
+
+    s = [add_ark0(state_ref[j], ark0_ref[j]) for j in range(WIDTH)]
+
+    def mix_row(s, mat, i):
+        # out_i = sum_j mat[j][i]*s_j as one fused CIOS pass
+        # (reference poseidon/bn254.go:194-208); < 2.6p -> cond_sub(2p) < 2p
+        t = _multi_cios([(s[j], mat[j, i]) for j in range(WIDTH)], p_col)
+        return _cond_sub(_carry(t), _2P_INT_LIMBS)
 
     def full_round(r, s, arks_ref, mats_ref):
-        ark = jax.lax.dynamic_slice_in_dim(arks_ref[:], r, 1, 0)[0]
-        mat = jax.lax.dynamic_slice_in_dim(mats_ref[:], r, 1, 0)[0]
-        s = [_exp5(x) for x in s]
-        s = [_add(x, ark[j]) for j, x in enumerate(s)]
-        # out_i = sum_j mat[j][i] * s_j   (reference poseidon/bn254.go:194-208)
-        out = []
-        for i in range(WIDTH):
-            acc = _mont_mul(s[0], mat[0, i])
-            for j in range(1, WIDTH):
-                acc = _add(acc, _mont_mul(s[j], mat[j, i]))
-            out.append(acc)
-        return out
+        ark = arks_ref[r]     # (4, 16, 1) dynamic ref load
+        mat = mats_ref[r]     # (4, 4, 16, 1)
+        s = [_exp5_ark(x, ark[j], p_col) for j, x in enumerate(s)]
+        return [mix_row(s, mat, i) for i in range(WIDTH)]
 
     def first_half(r, s):
         return full_round(r, s, arks_f_ref, mats_f_ref)
@@ -179,23 +214,30 @@ def _kernel(p_ref, ark0_ref, arks_f_ref, mats_f_ref, part_c_ref, s_row_ref,
         return full_round(r, s, arks_s_ref, mats_s_ref)
 
     def partial_round(r, s):
-        pc = jax.lax.dynamic_slice_in_dim(part_c_ref[:], r, 1, 0)[0]
-        srow = jax.lax.dynamic_slice_in_dim(s_row_ref[:], r, 1, 0)[0]
-        scol = jax.lax.dynamic_slice_in_dim(s_col_ref[:], r, 1, 0)[0]
-        s0 = _add(_exp5(s[0]), pc)
+        pc = part_c_ref[r]    # (16, 1)
+        srow = s_row_ref[r]   # (4, 16, 1)
+        scol = s_col_ref[r]   # (3, 16, 1)
+        s0 = _exp5_ark(s[0], pc, p_col)
         st = [s0] + s[1:]
-        new0 = _mont_mul(st[0], srow[0])
-        for j in range(1, WIDTH):
-            new0 = _add(new0, _mont_mul(st[j], srow[j]))
-        rest = [_add(st[k], _mont_mul(s0, scol[k - 1]))
-                for k in range(1, WIDTH)]
+        # new0 = sum_j srow[j]*st_j: one fused pass, < 2.6p -> < 2p
+        new0 = _cond_sub(
+            _carry(_multi_cios([(st[j], srow[j]) for j in range(WIDTH)],
+                               p_col)),
+            _2P_INT_LIMBS)
+        # st[k] += s0*scol[k-1]: st[k] fused into the product's accumulator
+        rest = [
+            _cond_sub(
+                _mont_mul_relaxed(s0, scol[k - 1], p_col, extra=st[k]),
+                _2P_INT_LIMBS)
+            for k in range(1, WIDTH)]
         return [new0] + rest
 
     s = jax.lax.fori_loop(0, FULL_HALF, first_half, s)
     s = jax.lax.fori_loop(0, PARTIAL, partial_round, s)
     s = jax.lax.fori_loop(0, FULL_HALF, second_half, s)
     for j in range(WIDTH):
-        out_ref[j] = s[j]
+        # relaxed (< 2p) -> canonical (< p), bit-exact vs the jnp path
+        out_ref[j] = _cond_sub(s[j], _P_INT_LIMBS)
 
 
 @functools.lru_cache(maxsize=16)

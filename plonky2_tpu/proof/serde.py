@@ -58,14 +58,30 @@ def _digest_tovec(dec_str):
                        for i in range(TOVEC_CHUNKS)], dtype=np.uint64)
 
 
+def absorb_slot_masks(n_elems):
+    """Slot overwrite masks for HashNoPad of n_elems GL elements:
+    (n_chunks, 3) bool, slot s of chunk t active iff n_elems > 9t + 3s.
+    Single source of truth for serde packing and the device absorb scan."""
+    n_chunks = max(1, (n_elems + 8) // 9)
+    mask = np.zeros((n_chunks, 3), dtype=bool)
+    for t in range(n_chunks):
+        rem = n_elems - 9 * t
+        for s in range(3):
+            mask[t, s] = rem > 3 * s
+    return mask
+
+
 def _pack_leaf_mont(elements):
     """GL leaf -> list of absorb blocks, each (3,16) mont limbs + (3,) mask.
 
     Mirrors HashNoPad's 9-elements-per-permutation packing
-    (reference poseidon/bn254.go:58-74)."""
+    (reference poseidon/bn254.go:58-74).  For leaves of <= 3 elements the
+    reference uses HashOrNoop (poseidon/bn254.go:79-94): the digest IS the
+    packed value, no permutation runs; the packed block is still produced
+    here (slot 0) and the device selects it directly (LeafLayout.noop)."""
     blocks = []
     n = len(elements)
-    assert n > 3, "HashOrNoop short-leaf path not expected for plonky2 proofs"
+    assert n > 0, "empty leaf"
     for i in range(0, n, 9):
         chunk = elements[i:i + 9]
         block = np.zeros((3, 16), dtype=np.uint32)
@@ -84,21 +100,26 @@ class LeafLayout:
     max_steps: int
     active: np.ndarray      # (4, max_steps) bool
     slot_mask: np.ndarray   # (4, max_steps, 3) bool
+    noop: np.ndarray        # (4,) bool: <=3-element leaf -> HashOrNoop
 
 
 def leaf_layout(spec):
     sizes = spec.oracle_leaf_sizes
-    n_steps = [(s + 8) // 9 for s in sizes]
+    n_steps = [max(1, (s + 8) // 9) for s in sizes]
     max_steps = max(n_steps)
     active = np.zeros((4, max_steps), dtype=bool)
     slot_mask = np.zeros((4, max_steps, 3), dtype=bool)
+    noop = np.zeros((4,), dtype=bool)
     for o, size in enumerate(sizes):
+        assert size > 0, "empty oracle leaf"
+        noop[o] = size <= 3  # reference poseidon/bn254.go:79-94
         for t in range(n_steps[o]):
-            active[o, t] = True
-            rem = size - 9 * t
-            for s in range(3):
-                slot_mask[o, t, s] = rem > 3 * s
-    return LeafLayout(max_steps=max_steps, active=active, slot_mask=slot_mask)
+            # noop oracles still carry their packed block (slot 0) but never
+            # run the sponge; the device reads the block as the digest.
+            active[o, t] = not noop[o]
+            slot_mask[o, t] = absorb_slot_masks(size)[t]
+    return LeafLayout(max_steps=max_steps, active=active,
+                      slot_mask=slot_mask, noop=noop)
 
 
 def load_proof(spec, proof_path, verifier_only_path):

@@ -98,6 +98,22 @@ class CircuitSpec:
     def gates(self):
         return [gate_from_id(g) for g in self.gate_ids]
 
+    def assert_noncanonical_indices_ok(self):
+        """Protocol-safety sanity check (reference fri/fri_utils.go:156-163,
+        itself a port of plonky2's assert_noncanonical_indices_ok): the
+        fraction of u64 values with two GL encodings must be negligible
+        relative to the per-query soundness error, else non-canonical
+        transcript encodings could bias FRI query indices."""
+        P = (1 << 64) - (1 << 32) + 1
+        num_ambiguous = (1 << 64) - P
+        query_error = 1.0 / (1 << self.rate_bits)
+        p_ambiguous = num_ambiguous / float(P)
+        if p_ambiguous >= query_error * 1e-5:
+            raise ValueError(
+                "non-negligible fraction of field elements permit "
+                "non-canonical encodings for this rate; need canonical "
+                "encoding enforcement (reference fri/fri_utils.go:156-163)")
+
 
 def load_circuit_spec(path):
     with open(path) as f:
@@ -108,7 +124,7 @@ def load_circuit_spec(path):
         raise ValueError("hiding circuits not supported "
                          "(reference types/common_data.go:121-124)")
     sel = raw["selectors_info"]
-    return CircuitSpec(
+    spec = CircuitSpec(
         num_wires=cfg["num_wires"],
         num_routed_wires=cfg["num_routed_wires"],
         num_constants_cfg=cfg["num_constants"],
@@ -130,3 +146,5 @@ def load_circuit_spec(path):
         k_is=tuple(raw["k_is"]),
         num_partial_products=raw["num_partial_products"],
     )
+    spec.assert_noncanonical_indices_ok()
+    return spec

@@ -19,28 +19,32 @@ from ..hash import poseidon_bn254 as pb
 
 
 def make_tiny_spec():
+    """Smallest internally-consistent spec: 1 challenge, 1 query round,
+    cap height 0, arity 2.  Oracles 2 and 3 (Zs+partial products, quotient)
+    have 2 leaf elements each, so the HashOrNoop path (reference
+    poseidon/bn254.go:79-94) is exercised by every dryrun."""
     return CircuitSpec(
-        num_wires=16,
-        num_routed_wires=8,
+        num_wires=8,
+        num_routed_wires=4,
         num_constants_cfg=2,
         security_bits=100,
-        num_challenges=2,
+        num_challenges=1,
         rate_bits=3,
-        cap_height=1,
+        cap_height=0,
         pow_bits=0,
-        num_query_rounds=2,
-        degree_bits=3,
-        reduction_arity_bits=(2,),
+        num_query_rounds=1,
+        degree_bits=2,
+        reduction_arity_bits=(1,),
         gate_ids=("NoopGate",
                   "ArithmeticGate { num_ops: 2 }",
                   "PublicInputGate"),
         selector_indices=(0, 0, 0),
         groups=((0, 3),),
-        quotient_degree_factor=4,
+        quotient_degree_factor=2,
         num_gate_constraints=4,
         num_constants=3,
         num_public_inputs=4,
-        k_is=tuple(range(1, 9)),
+        k_is=tuple(range(1, 5)),
         num_partial_products=1,
     )
 

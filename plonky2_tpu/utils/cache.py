@@ -42,11 +42,15 @@ def force_cpu(n_virtual_devices: int | None = None) -> None:
     """
     import jax
 
-    if n_virtual_devices:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags +
-                f" --xla_force_host_platform_device_count={n_virtual_devices}"
-            ).strip()
+    flags = os.environ.get("XLA_FLAGS", "")
+    if n_virtual_devices and (
+            "xla_force_host_platform_device_count" not in flags):
+        flags = (flags +
+                 f" --xla_force_host_platform_device_count={n_virtual_devices}")
+    # see tests/conftest.py: the XLA:CPU fusion emitter is pathological on
+    # concat-of-deep-chain graphs on this image; runs are ~2000x faster
+    # with the fusion pass disabled.
+    if "xla_disable_hlo_passes" not in flags:
+        flags = flags + " --xla_disable_hlo_passes=fusion"
+    os.environ["XLA_FLAGS"] = flags.strip()
     jax.config.update("jax_platforms", "cpu")

@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # note below).
 if "xla_backend_optimization_level" not in flags:
     flags = flags + " --xla_backend_optimization_level=1"
+# Disabling the fusion pass is a ~2000x RUNTIME win on this image: the
+# XLA:CPU fusion emitter executes any concatenate whose operands are deep
+# fused chains pathologically (measured 4.8s/permutation -> 2ms without
+# fusion; optimization_barrier does NOT help).  Per-op thunk overhead
+# without fusion is negligible at test shapes.
+if "xla_disable_hlo_passes" not in flags:
+    flags = flags + " --xla_disable_hlo_passes=fusion"
 os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,61 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+SURVEY.md section 2.4 (multi-host row): the proof batch is the data-parallel
+axis, sharded with shard_map over a Mesh; verification is per-proof, the
+only cross-device dependence is the gathered verdict vector.  conftest.py
+provisions 8 virtual devices via --xla_force_host_platform_device_count.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from plonky2_tpu.proof.spec import load_circuit_spec
+from plonky2_tpu.proof import serde
+from plonky2_tpu.proof.synthetic import make_tiny_spec, make_dummy_proof
+from plonky2_tpu.parallel import mesh as pmesh
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_tiny_dummy_batch_sharded_rejects():
+    """Dummy proofs are structurally valid but cryptographically meaningless:
+    every shard must return False, and invalidity must be data, not an
+    exception (SURVEY.md section 5 failure-detection row)."""
+    spec = make_tiny_spec()
+    mesh = pmesh.make_mesh(jax.devices())
+    batch = serde.stack_proofs([make_dummy_proof(spec, seed=i)
+                                for i in range(8)])
+    verdicts = pmesh.verify_batch_sharded(spec, batch, mesh)
+    assert verdicts.shape == (8,)
+    assert not verdicts.any()
+
+
+@pytest.mark.slow
+def test_decode_block_sharded_accepts_and_rejects():
+    """Real proofs across the mesh: 8 copies of the decode_block proof, one
+    per device, with one corrupted -- verdicts must be per-shard exact."""
+    spec = load_circuit_spec(f"{ROOT}/testdata/decode_block/common_circuit_data.json")
+    import copy, json
+    with open(f"{ROOT}/testdata/decode_block/proof_with_public_inputs.json") as f:
+        raw = json.load(f)
+    with open(f"{ROOT}/testdata/decode_block/verifier_only_circuit_data.json") as f:
+        vraw = json.load(f)
+    good = serde.ingest_proof(spec, raw, vraw)
+    bad_raw = copy.deepcopy(raw)
+    bad_raw["proof"]["openings"]["wires"][0][0] ^= 1
+    bad = serde.ingest_proof(spec, bad_raw, vraw)
+
+    proofs = [good] * 8
+    proofs[3] = bad
+    batch = serde.stack_proofs(proofs)
+    mesh = pmesh.make_mesh(jax.devices())
+    verdicts = pmesh.verify_batch_sharded(spec, batch, mesh)
+    expected = np.asarray([i != 3 for i in range(8)])
+    assert (verdicts == expected).all(), verdicts
