@@ -339,27 +339,31 @@ def _nsquare(a, n):
     return out
 
 
+_P_MINUS_2_BITS_MSB = [(P - 2) >> i & 1 for i in reversed(range(64))]
+
+
 def inv(a):
     """a^(p-2); returns 0 for input 0 (matches gnark-crypto Inverse hint
     semantics used at reference goldilocks/base.go:316-336).
 
-    Fermat chain specialized to p-2 = 2^64 - 2^32 - 1: with
-    t31 = a^(2^31-1), the result is t31^(2^33) * t31^2 * a, built from
-    2^k-1 ladder steps.  64 squarings + 10 multiplies total; the squaring
-    runs are `lax.scan`s (_nsquare), so each inversion call site traces to
-    ~14 small bodies -- compile-compact AND ~40% fewer multiplies than a
-    generic MSB square-and-multiply scan."""
-    t2 = mul(_nsquare(a, 1), a)        # 2^2 - 1
-    t4 = mul(_nsquare(t2, 2), t2)      # 2^4 - 1
-    t8 = mul(_nsquare(t4, 4), t4)      # 2^8 - 1
-    t16 = mul(_nsquare(t8, 8), t8)     # 2^16 - 1
-    t24 = mul(_nsquare(t16, 8), t8)    # 2^24 - 1
-    t28 = mul(_nsquare(t24, 4), t4)    # 2^28 - 1
-    t30 = mul(_nsquare(t28, 2), t2)    # 2^30 - 1
-    t31 = mul(_nsquare(t30, 1), a)     # 2^31 - 1
-    x32 = mul(_nsquare(t31, 1), a)     # 2^32 - 1
-    # (2^31-1)*2^33 + (2^32-1) == 2^64 - 2^32 - 1 == p - 2
-    return mul(_nsquare(t31, 33), x32)
+    One MSB-first square-and-multiply scan over the constant exponent bit
+    schedule.  Each inversion call site traces to a single
+    square+multiply+select scan body (~1k HLO lines) -- 7x smaller than a
+    2^k-1 addition-chain expansion (measured), which dominates compile
+    time at the ~7 inversion sites in the FRI/PLONK graphs.  The extra
+    ~54 multiplies are runtime noise: inversions sit on small
+    latency-bound tensors in both backends."""
+    import jax
+
+    bits = jnp.asarray(_P_MINUS_2_BITS_MSB, dtype=jnp.uint32)
+
+    def body(acc, bit):
+        acc = mul(acc, acc)
+        with_mul = mul(acc, a)
+        return select(bit.astype(bool), with_mul, acc), None
+
+    acc, _ = jax.lax.scan(body, ones(jnp.shape(a[0])), bits)
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -391,13 +395,17 @@ def broadcast_to(a, shape):
 
 
 def const_array(values):
-    """List/array of python ints -> constant GL array (numpy-backed)."""
+    """List/array of python ints -> constant GL array.
+
+    Returns NUMPY (not jnp) limb planes: numpy constants are safe to cache
+    and close over across traces (a jnp array created inside a shard_map
+    trace is a tracer, and caching it leaks it -- cf. bn254._P_LIMBS_NP)."""
     import numpy as np
     arr = np.asarray([[int(v) % P for v in row] for row in values]
                      if values and isinstance(values[0], (list, tuple))
                      else [int(v) % P for v in values], dtype=np.uint64)
-    return (jnp.asarray((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-            jnp.asarray((arr >> np.uint64(32)).astype(np.uint32)))
+    return ((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (arr >> np.uint64(32)).astype(np.uint32))
 
 
 def tree_sum(x, axis=-1):
@@ -406,7 +414,13 @@ def tree_sum(x, axis=-1):
     jnp.sum lowers to an XLA reduce op, which XLA:CPU compiles
     pathologically slowly (minutes) for integer operands produced by fused
     expressions; explicit adds compile instantly and fuse equally well on
-    TPU for the small axes used here."""
+    TPU for the small axes used here.
+
+    The odd-length tail folds in with a `where` on an iota mask, NOT a
+    concatenate: the XLA:CPU fusion emitter re-executes a concatenate's
+    producer subgraph per consumer depth (measured ~100x per level; see
+    .claude/skills/verify/SKILL.md), while where/select consumers are
+    immune."""
     if axis < 0:
         axis += x.ndim
     n = x.shape[axis]
@@ -418,10 +432,13 @@ def tree_sum(x, axis=-1):
         hi = jax_slice(x, axis, half, 2 * half)
         s = lo + hi
         if n % 2:
-            s = jnp.concatenate([s, jax_slice(x, axis, n - 1, n)], axis=axis)
-            n = half + 1
-        else:
-            n = half
+            # fold the odd tail into slot 0 instead of concatenating it
+            tail = jax_slice(x, axis, n - 1, n)
+            mshape = [1] * x.ndim
+            mshape[axis] = half
+            mask = jnp.arange(half).reshape(mshape) == 0
+            s = jnp.where(mask, s + tail, s)
+        n = half
         x = s
     return jnp.squeeze(x, axis=axis)
 

@@ -75,28 +75,28 @@ def _cap_lookup(cap, cap_index):
     return picked.reshape(cap_index.shape + (16,))
 
 
-def _hash_leaves_scan(packed, slot_mask, active):
+def _hash_leaves_scan(packed, slot_mask):
     """Batched HashNoPad over precomputed absorb blocks.
 
-    packed: (B, Q, G, T, 3, 16) mont blocks; slot_mask: (G, T, 3) bool;
-    active: (G, T) bool.  Returns (B, Q, G, 16) digests.
+    packed: (..., T, 3, 16) mont blocks; slot_mask: (T, 3) bool.
+    Returns (..., 16) digests.  Every step is active: callers give each
+    oracle its own scan sized to its leaf (LeafLayout.n_steps) rather than
+    masking lanes through a shared max-length scan.
     """
-    B, Q, G, T = packed.shape[:4]
-    state = bn254.zeros((B, Q, G, 4))
-    blocks = jnp.moveaxis(packed, 3, 0)             # (T, B, Q, G, 3, 16)
-    smask = jnp.moveaxis(jnp.asarray(slot_mask), 1, 0)   # (T, G, 3)
-    act = jnp.moveaxis(jnp.asarray(active), 1, 0)        # (T, G)
+    lead = packed.shape[:-3]
+    T = packed.shape[-3]
+    state = bn254.zeros(lead + (4,))
+    blocks = jnp.moveaxis(packed, -3, 0)            # (T, ..., 3, 16)
+    smask = jnp.asarray(slot_mask)                  # (T, 3)
 
     def step(st, xs):
-        block, sm, ac = xs
-        sel = sm[None, None, :, :, None]            # (1,1,G,3,1)
+        block, sm = xs
+        sel = sm[..., None]                         # (3, 1)
         rest = jnp.where(sel, block, st[..., 1:, :])
         st_in = jnp.concatenate([st[..., :1, :], rest], axis=-2)
-        permuted = pb.permute(st_in)
-        st_out = jnp.where(ac[None, None, :, None, None], permuted, st)
-        return st_out, None
+        return pb.permute(st_in), None
 
-    state, _ = jax.lax.scan(step, state, (blocks, smask, act))
+    state, _ = jax.lax.scan(step, state, (blocks, smask))
     return state[..., 0, :]
 
 
@@ -157,14 +157,18 @@ def verify_fri(spec, dev, challenges, verdict):
 
     # --- initial tree Merkle proofs (reference fri/fri.go:146-157)
     layout = leaf_layout(spec)
-    leaf_digests = _hash_leaves_scan(dev["init_leaf_packed"],
-                                     layout.slot_mask, layout.active)
-    if layout.noop.any():
-        # HashOrNoop (reference poseidon/bn254.go:79-94): a <=3-element leaf's
-        # digest is its packed value -- static per-oracle select.
-        packed0 = dev["init_leaf_packed"][:, :, :, 0, 0, :]   # (B, Q, 4, 16)
-        noop = jnp.asarray(layout.noop)[None, None, :, None]
-        leaf_digests = jnp.where(noop, packed0, leaf_digests)
+    per_oracle = []
+    for o in range(4):
+        if layout.noop[o]:
+            # HashOrNoop (reference poseidon/bn254.go:79-94): a <=3-element
+            # leaf's digest is its packed value -- no sponge runs.
+            per_oracle.append(dev["init_leaf_packed"][:, :, o, 0, 0, :])
+        else:
+            n = layout.n_steps[o]
+            per_oracle.append(_hash_leaves_scan(
+                dev["init_leaf_packed"][:, :, o, :n],
+                layout.slot_mask[o, :n]))
+    leaf_digests = jnp.stack(per_oracle, axis=2)      # (B, Q, 4, 16)
     bits4 = [jnp.broadcast_to(b[..., None], b.shape + (4,)) for b in bits]
     roots = _merkle_chain(leaf_digests, dev["init_siblings"], bits4,
                           spec.initial_tree_depth)   # (B, Q, 4, 16)
@@ -252,9 +256,7 @@ def verify_fri(spec, dev, challenges, verdict):
         smask = absorb_slot_masks(arity * 2)
         n_chunks = smask.shape[0]
         assert n_chunks == dev[f"step{j}_leaf_packed"].shape[2]
-        leaf_digest = _hash_leaves_scan(
-            dev[f"step{j}_leaf_packed"][:, :, None],
-            smask[None], np.ones((1, n_chunks), bool))[..., 0, :]
+        leaf_digest = _hash_leaves_scan(dev[f"step{j}_leaf_packed"], smask)
         chain_bits = [b for b in coset_bits]
         root_j = _merkle_chain(leaf_digest, dev[f"step{j}_siblings"],
                                chain_bits, depth)

@@ -88,7 +88,8 @@ def _qe_const_arr(values, c1_values=None):
     """Python ints -> constant QE array (component 1 zero by default)."""
     c0 = gl.const_array(values)
     if c1_values is None:
-        z = (jnp.zeros_like(c0[0]), jnp.zeros_like(c0[1]))
+        import numpy as np
+        z = (np.zeros_like(c0[0]), np.zeros_like(c0[1]))
         return (c0, z)
     return (c0, gl.const_array(c1_values))
 

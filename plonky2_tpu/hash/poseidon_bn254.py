@@ -125,12 +125,50 @@ def _use_pallas():
     return jax.default_backend() == "tpu"
 
 
+def _use_host_math():
+    """Host-callback mode (CPU only): the permutation runs as one
+    jax.pure_callback into the python-int reference implementation instead
+    of tracing ~3k HLO ops per call site.  XLA:CPU cannot compile the full
+    traced graph of a production-size circuit in reasonable time (>15 min
+    measured), so CPU structure tests opt in via PLONKY2_TPU_HOST_MATH=1;
+    the permutation math itself is covered by golden-vector and Pallas
+    parity tests, and by bench.py on real TPU hardware."""
+    import os
+    import jax
+    return (os.environ.get("PLONKY2_TPU_HOST_MATH") == "1"
+            and jax.default_backend() == "cpu")
+
+
 def permute(state):
     """Full Poseidon-BN254 permutation; state (..., 4, 16) uint32, Montgomery."""
     if _use_pallas():
         from ..kernels.poseidon_bn254_pallas import permute as _pp
         return _pp(state)
+    if _use_host_math():
+        return _permute_host(state)
     return _permute_jnp(state)
+
+
+def _permute_host(state):
+    """pure_callback to the python-int reference (bench/cpu_reference.py)."""
+    shape = state.shape
+
+    def host(st):
+        from ..bench import cpu_reference as R
+        st = np.asarray(st)
+        flat = st.reshape(-1, WIDTH, bn254.NUM_LIMBS)
+        rinv = pow(bn254.R, -1, bn254.P)
+        out = np.empty_like(flat)
+        for i in range(flat.shape[0]):
+            vals = [(bn254.limbs_to_int(flat[i, j]) * rinv) % bn254.P
+                    for j in range(WIDTH)]
+            res = R.poseidon_bn254(vals)
+            for j in range(WIDTH):
+                out[i, j] = bn254.int_to_mont_limbs(res[j])
+        return out.reshape(shape)
+
+    return jax.pure_callback(
+        host, jax.ShapeDtypeStruct(shape, jnp.uint32), state)
 
 
 def _permute_jnp(state):

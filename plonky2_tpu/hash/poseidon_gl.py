@@ -67,10 +67,30 @@ class _Consts:
         vs = (np.asarray(lo), np.asarray(hi))  # (22, 11)
         lo, hi = _gl_np(K.FAST_PARTIAL_ROUND_INITIAL_MATRIX)
         init_mat = (np.asarray(lo), np.asarray(hi))  # (11, 11) [r-1][d-1]
+
+        # full-width variants (concat-free permute):
+        #   init_mat12: out = x @ M^T with M[0]=e0, M[1+d][1+r]=init[r][d]
+        #   w_full:  per-round [MDS0TO0, what_0..10]
+        #   vs_full: per-round [0, vs_0..10]
+        im = np.asarray(K.FAST_PARTIAL_ROUND_INITIAL_MATRIX, dtype=object)
+        m12 = [[0] * WIDTH for _ in range(WIDTH)]
+        m12[0][0] = 1
+        for d in range(11):
+            for r in range(11):
+                m12[1 + d][1 + r] = int(im[r][d])
+        init_mat12 = gl.const_array(m12)
+        w_full = gl.const_array(
+            [[K.MDS0TO0] + [int(x) for x in row]
+             for row in K.FAST_PARTIAL_ROUND_W_HATS])           # (22, 12)
+        vs_full = gl.const_array(
+            [[0] + [int(x) for x in row]
+             for row in K.FAST_PARTIAL_ROUND_VS])               # (22, 12)
+
         cls._cache = dict(
             mds=np.asarray(A), rc_first=rc_first, rc_second=rc_second,
             first_const=first_const, part_const=part_const,
-            w_hats=w_hats, vs=vs, init_mat=init_mat)
+            w_hats=w_hats, vs=vs, init_mat=init_mat,
+            init_mat12=init_mat12, w_full=w_full, vs_full=vs_full)
         return cls._cache
 
 
@@ -83,19 +103,22 @@ def _sbox(x):
 
 
 def _mds_layer(state):
-    """Circulant MDS as a broadcast multiply + log-tree add over 16-bit limb
-    planes.  state: GL of shape (..., 12).  Each product coefficient is
-    <= 49, so column sums stay < 2^26, well within digit capacity.
+    """Circulant MDS as four per-limb u32 matmuls.  state: GL (..., 12).
+    Each product coefficient is <= 49, so column sums stay < 2^26, well
+    within digit capacity.
 
-    (Not an einsum/jnp.sum: XLA:CPU compiles integer reduce/dot ops with
-    fused operands pathologically slowly -- see gl.tree_sum.)
-    """
+    NO jnp.stack/concatenate here: the XLA:CPU fusion emitter re-evaluates
+    a concatenate's producer subgraph once per consumer depth, which turns
+    a permutation into seconds of runtime (measured; see
+    .claude/skills/verify/SKILL.md).  dot/einsum consumers are immune, so
+    the limb planes stay a python list contracted by einsum."""
     A = jnp.asarray(_Consts.get()["mds"])
-    limbs = jnp.stack([state[0] & 0xFFFF, state[0] >> 16,
-                       state[1] & 0xFFFF, state[1] >> 16], axis=-1)  # (...,12,4)
-    prod = A[:, :, None] * limbs[..., None, :, :]   # (..., 12r, 12c, 4)
-    acc = gl.tree_sum(prod, axis=-2)                # (..., 12, 4)
-    digits = [acc[..., k] for k in range(4)]
+    digits = [
+        jnp.einsum("rc,...c->...r", A, state[0] & 0xFFFF),
+        jnp.einsum("rc,...c->...r", A, state[0] >> 16),
+        jnp.einsum("rc,...c->...r", A, state[1] & 0xFFFF),
+        jnp.einsum("rc,...c->...r", A, state[1] >> 16),
+    ]
     return gl.reduce_digits(digits)
 
 
@@ -103,8 +126,19 @@ def _sum_digits_over_axis(digit_list, axis):
     return [gl.tree_sum(d, axis) for d in digit_list]
 
 
+def _lane0_mask(ndim):
+    """Broadcastable (..., 12) bool mask selecting lane 0."""
+    shape = (1,) * (ndim - 1) + (WIDTH,)
+    return (np.arange(WIDTH) == 0).reshape(shape)
+
+
 def permute(state):
-    """Poseidon permutation; state GL shape (..., 12), canonical, -> same."""
+    """Poseidon permutation; state GL shape (..., 12), canonical, -> same.
+
+    Everything is full-width: partial rounds compose lane 0 back into the
+    state with `gl.select` on a lane mask instead of concatenating split
+    halves (concatenate consumers are pathological on XLA:CPU -- see
+    _mds_layer)."""
     C = _Consts.get()
 
     def full_round(st, rc):
@@ -114,39 +148,29 @@ def permute(state):
 
     state, _ = jax.lax.scan(full_round, state, C["rc_first"])
 
-    # partial rounds: folded first constant layer + init matrix
+    # partial rounds: folded first constant layer + init matrix, applied as
+    # one full-width 12x12 constant matmul (row/col 0 is the identity lane)
     state = gl.add(state, C["first_const"])
-    s0 = (state[0][..., 0], state[1][..., 0])
-    rest = (state[0][..., 1:], state[1][..., 1:])  # (..., 11)
-    # result[d] = sum_r rest[r] * INIT[r][d]  (init_mat indexed [r-1][d-1])
-    d = gl.mul_digits((rest[0][..., :, None], rest[1][..., :, None]),
-                      C["init_mat"])
-    d = _sum_digits_over_axis(d, -2)  # (..., 11)
-    rest = gl.reduce_digits(d)
-    state = (jnp.concatenate([s0[0][..., None], rest[0]], axis=-1),
-             jnp.concatenate([s0[1][..., None], rest[1]], axis=-1))
+    state = gl.matmul_const(state, C["init_mat12"])
+
+    mask0 = _lane0_mask(state[0].ndim)
 
     def partial_round(st, xs):
-        pc, what, vs_r = xs  # pc: scalar GL; what, vs_r: GL (11,)
+        pc, wfull, vsfull = xs  # pc: scalar GL; wfull, vsfull: GL (12,)
         s0 = (st[0][..., 0], st[1][..., 0])
         s0 = _sbox(s0)
         s0 = gl.add(s0, pc)
-        rest = (st[0][..., 1:], st[1][..., 1:])
-        # d = MDS0TO0 * s0 + sum_i rest[i] * what[i]
-        dd = gl.mul_digits(rest, what)
-        dd = _sum_digits_over_axis(dd, -1)
-        dd = gl.add_digits(dd, gl.mul_const_digits(s0, K.MDS0TO0))
-        d = gl.reduce_digits(dd)
-        # rest[i] = s0 * vs[i] + rest[i]
-        rd = gl.mul_digits((s0[0][..., None], s0[1][..., None]), vs_r)
-        rd = gl.add_to_digits(rd, rest)
-        rest = gl.reduce_digits(rd)
-        st = (jnp.concatenate([d[0][..., None], rest[0]], axis=-1),
-              jnp.concatenate([d[1][..., None], rest[1]], axis=-1))
+        s0b = (s0[0][..., None], s0[1][..., None])
+        st0 = gl.select(mask0, s0b, st)
+        # d = MDS0TO0*s0 + sum_i rest[i]*what[i]  == st0 . wfull
+        d = gl.dot(st0, (wfull[0], wfull[1]))
+        # rest[i] += s0 * vs[i]  (vsfull[0] = 0 keeps lane 0 untouched)
+        rest = gl.mul_add(s0b, (vsfull[0], vsfull[1]), st0)
+        st = gl.select(mask0, (d[0][..., None], d[1][..., None]), rest)
         return st, None
 
     state, _ = jax.lax.scan(partial_round, state,
-                            (C["part_const"], C["w_hats"], C["vs"]))
+                            (C["part_const"], C["w_full"], C["vs_full"]))
 
     def full_round2(st, rc):
         st = gl.add(st, rc)

@@ -20,6 +20,50 @@ from ..fields import goldilocks_ext as qe
 from ..gates.gates import evaluate_gate_constraints
 
 
+def _gates_host(spec, local_constants, local_wires, pi_hash):
+    """Gate-constraint evaluation as one pure_callback into the python-int
+    reference (bench/cpu_reference._eval_gates_ref).  CPU-only structure
+    mode: the traced per-gate graphs (PoseidonGate alone re-derives a full
+    width-12 permutation over QE) push XLA:CPU compiles past 15 minutes;
+    gate math stays covered by tests/test_gates.py goldens and the TPU
+    path."""
+    import jax
+    import numpy as np
+
+    B = local_constants[0][0].shape[0]
+    n_out = spec.num_gate_constraints
+
+    def pack(x):  # QE pair -> (4, B, n) uint32
+        return jnp.stack([x[0][0], x[0][1], x[1][0], x[1][1]])
+
+    def unpack_int(arr, b, i):  # (4, B, n) -> QE int tuple
+        return (int(arr[0, b, i]) | (int(arr[1, b, i]) << 32),
+                int(arr[2, b, i]) | (int(arr[3, b, i]) << 32))
+
+    def host(consts4, wires4, pih_lo, pih_hi):
+        from ..bench import cpu_reference as R
+        consts4, wires4 = np.asarray(consts4), np.asarray(wires4)
+        out = np.zeros((4, B, n_out), np.uint32)
+        for b in range(B):
+            all_consts = [unpack_int(consts4, b, i)
+                          for i in range(consts4.shape[2])]
+            wires = [unpack_int(wires4, b, i) for i in range(wires4.shape[2])]
+            pih = [int(pih_lo[b, k]) | (int(pih_hi[b, k]) << 32)
+                   for k in range(4)]
+            accum = R._eval_gates_ref(spec, all_consts, wires, pih)
+            for i, (c0, c1) in enumerate(accum):
+                out[0, b, i] = c0 & 0xFFFFFFFF
+                out[1, b, i] = c0 >> 32
+                out[2, b, i] = c1 & 0xFFFFFFFF
+                out[3, b, i] = c1 >> 32
+        return out
+
+    res = jax.pure_callback(
+        host, jax.ShapeDtypeStruct((4, B, n_out), jnp.uint32),
+        pack(local_constants), pack(local_wires), pi_hash[0], pi_hash[1])
+    return ((res[0], res[1]), (res[2], res[3]))
+
+
 def verify_plonk(spec, dev, challenges, pi_hash, verdict):
     """Reference plonk/plonk.go:209-250 (Verify) + 121-207 (evalVanishingPoly).
 
@@ -40,9 +84,14 @@ def verify_plonk(spec, dev, challenges, pi_hash, verdict):
     partial_products = dev["op_partial_products"]  # (B, nc*npp)
     quotient_polys = dev["op_quotient_polys"]    # (B, nc*qdf)
 
-    constraint_terms = evaluate_gate_constraints(
-        spec.gates(), spec.selector_indices, spec.groups,
-        spec.num_gate_constraints, local_constants, local_wires, pi_hash)
+    from ..hash.poseidon_bn254 import _use_host_math
+    if _use_host_math():
+        constraint_terms = _gates_host(spec, local_constants, local_wires,
+                                       pi_hash)
+    else:
+        constraint_terms = evaluate_gate_constraints(
+            spec.gates(), spec.selector_indices, spec.groups,
+            spec.num_gate_constraints, local_constants, local_wires, pi_hash)
 
     # L_0(zeta) = (zeta^n - 1) / (n * (zeta - 1))  (reference plonk.go:63-83)
     n_const = 1 << spec.degree_bits

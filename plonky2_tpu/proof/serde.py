@@ -96,9 +96,14 @@ def _pack_leaf_mont(elements):
 
 @dataclasses.dataclass
 class LeafLayout:
-    """Static absorb layout for the 4 initial-tree oracles."""
+    """Static absorb layout for the 4 initial-tree oracles.
+
+    The device hashes each oracle's leaves with its own scan of n_steps[o]
+    absorb steps (oracle step counts differ widely -- e.g. 10/16/3/2 for the
+    step circuit -- so a shared max-length scan would waste ~45% of the
+    dispatched hash lanes on masked steps)."""
     max_steps: int
-    active: np.ndarray      # (4, max_steps) bool
+    n_steps: tuple          # per-oracle absorb step count
     slot_mask: np.ndarray   # (4, max_steps, 3) bool
     noop: np.ndarray        # (4,) bool: <=3-element leaf -> HashOrNoop
 
@@ -107,7 +112,6 @@ def leaf_layout(spec):
     sizes = spec.oracle_leaf_sizes
     n_steps = [max(1, (s + 8) // 9) for s in sizes]
     max_steps = max(n_steps)
-    active = np.zeros((4, max_steps), dtype=bool)
     slot_mask = np.zeros((4, max_steps, 3), dtype=bool)
     noop = np.zeros((4,), dtype=bool)
     for o, size in enumerate(sizes):
@@ -116,9 +120,8 @@ def leaf_layout(spec):
         for t in range(n_steps[o]):
             # noop oracles still carry their packed block (slot 0) but never
             # run the sponge; the device reads the block as the digest.
-            active[o, t] = not noop[o]
             slot_mask[o, t] = absorb_slot_masks(size)[t]
-    return LeafLayout(max_steps=max_steps, active=active,
+    return LeafLayout(max_steps=max_steps, n_steps=tuple(n_steps),
                       slot_mask=slot_mask, noop=noop)
 
 
