@@ -6,6 +6,12 @@ CPU elsewhere).  Verifies a batch of copies of the testdata/step proof
 (degree 2^13, 28 FRI query rounds -- the heavier fixture) through the full
 jitted pipeline and reports steady-state throughput.
 
+Soundness is asserted on every run: the measured batch carries one
+corrupted proof (a flipped bit in openings.wires), and the verdict vector
+must be False exactly there and True everywhere else -- so the production
+traced/Pallas math demonstrates a cryptographic reject on hardware, not
+just accepts (reference negative analog: gnark assert failures).
+
 Baseline: the pure-CPU single-core reference verifier
 (plonky2_tpu/bench/cpu_reference.py) on the same proof -- measured at
 ~1.53 s/proof on this image (tools/ref_verify.py).  The reference repo
@@ -16,13 +22,18 @@ that stand on their own.
 
 Prints ONE json line:
   {"metric": "step_proofs_per_sec_per_chip", "value": N, "unit": "proofs/s",
-   "vs_baseline": ratio, ...extra context keys}
+   "vs_baseline": ratio, "phases": {...}, "decode_block_proofs_per_sec": N,
+   ...}
+
+Env knobs: BENCH_BATCH (default 32), BENCH_ITERS (5), BENCH_FIXTURE
+("step"), BENCH_PHASES=0 / BENCH_DECODE=0 to skip the extra sections.
 
 NOTE on timing: on the axon TPU tunnel, `block_until_ready()` returns
 before single pallas_call dispatches complete (verified empirically), so
 every measured iteration ends with a host fetch of the (tiny) verdict
 array, which forces real completion.
 """
+import copy
 import json
 import os
 import sys
@@ -34,64 +45,171 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # tools/ref_verify.py step): ~1.53 s/proof.
 CPU_BASELINE_PROOFS_PER_SEC = 1.0 / 1.53
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
-def main():
-    import jax
-    import numpy as np
-    from plonky2_tpu.utils.cache import enable_persistent_cache
+
+def _load_batch(name, batch_size, corrupt_lane=None):
     from plonky2_tpu.proof.spec import load_circuit_spec
     from plonky2_tpu.proof import serde
+
+    spec = load_circuit_spec(f"{ROOT}/testdata/{name}/common_circuit_data.json")
+    with open(f"{ROOT}/testdata/{name}/proof_with_public_inputs.json") as f:
+        raw = json.load(f)
+    with open(f"{ROOT}/testdata/{name}/verifier_only_circuit_data.json") as f:
+        vraw = json.load(f)
+    good = serde.ingest_proof(spec, raw, vraw)
+    proofs = [good] * batch_size
+    if corrupt_lane is not None and batch_size > 1:
+        bad_raw = copy.deepcopy(raw)
+        bad_raw["proof"]["openings"]["wires"][0][0] ^= 1
+        proofs[corrupt_lane] = serde.ingest_proof(spec, bad_raw, vraw)
+    return spec, serde.stack_proofs(proofs)
+
+
+def _prep(spec, batch):
+    import jax
     from plonky2_tpu.transcript import challenger as chal
     from plonky2_tpu import verifier
-
-    cache_dir = enable_persistent_cache()
-
-    root = os.path.dirname(os.path.abspath(__file__))
-    name = os.environ.get("BENCH_FIXTURE", "step")
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
-
-    spec = load_circuit_spec(f"{root}/testdata/{name}/common_circuit_data.json")
-    proof = serde.load_proof(
-        spec, f"{root}/testdata/{name}/proof_with_public_inputs.json",
-        f"{root}/testdata/{name}/verifier_only_circuit_data.json")
-    batch = serde.stack_proofs([proof] * batch_size)
 
     schedule = chal.build_schedule(spec)
     obs = verifier._split_u64(chal.build_observed_host(spec, batch))
     dev = verifier.proof_to_device(batch)
-    dev = jax.device_put(dev)
-    obs = jax.device_put(obs)
+    return schedule, jax.device_put(dev), jax.device_put(obs)
+
+
+def _measure(spec, schedule, dev, obs, iters):
+    import jax
+    import numpy as np
+    from plonky2_tpu import verifier
 
     fn = jax.jit(lambda d, o: verifier._verify_device(spec, schedule, d, o))
-
     t0 = time.time()
     out = np.asarray(fn(dev, obs))
     compile_time = time.time() - t0
-    assert bool(out.all()), "benchmark proofs must verify"
-
-    # steady state; host-fetch the verdict each iter to force completion
     times = []
     for _ in range(iters):
         t0 = time.time()
         out = np.asarray(fn(dev, obs))
         times.append(time.time() - t0)
-    best = min(times)
-    throughput = batch_size / best
+    return out, min(times), compile_time
 
+
+def main():
+    import jax
+    import numpy as np
+    from plonky2_tpu.utils.cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+
+    name = os.environ.get("BENCH_FIXTURE", "step")
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    corrupt_lane = 1 if batch_size > 1 else None
+
+    spec, batch = _load_batch(name, batch_size, corrupt_lane=corrupt_lane)
+    schedule, dev, obs = _prep(spec, batch)
+    verdicts, best, compile_time = _measure(spec, schedule, dev, obs, iters)
+
+    # soundness: exactly the corrupted lane rejects, all others accept
+    expected = np.ones(batch_size, bool)
+    if corrupt_lane is not None:
+        expected[corrupt_lane] = False
+    assert (verdicts == expected).all(), (
+        f"verdict mismatch: got {verdicts.tolist()}, want {expected.tolist()}")
+
+    throughput = batch_size / best
     result = {
-        "metric": "step_proofs_per_sec_per_chip",
+        "metric": f"{name}_proofs_per_sec_per_chip",
         "value": round(throughput, 3),
         "unit": "proofs/s",
         "vs_baseline": round(throughput / CPU_BASELINE_PROOFS_PER_SEC, 2),
         "baseline_anchor": "python-int cpu_reference 1.53 s/proof (see BASELINE.md; reference repo publishes no numbers)",
+        "soundness": f"corrupted lane {corrupt_lane} rejected, {batch_size-1} accepted",
+        "batch": batch_size,
+        "compile_s": round(compile_time, 1),
     }
+    if os.environ.get("BENCH_PHASES", "1") != "0":
+        result["phases"] = _phases(spec, schedule, dev, obs, batch_size)
+    if os.environ.get("BENCH_DECODE", "1") != "0" and name == "step":
+        result.update(_decode_block(iters))
     result.update(_poseidon_micro())
     print(json.dumps(result))
-    print(f"# batch={batch_size} best={best:.4f}s mean={sum(times)/len(times):.4f}s "
+    print(f"# batch={batch_size} best={best:.4f}s "
           f"compile={compile_time:.1f}s cache={cache_dir or 'off'} "
           f"device={jax.devices()[0]}",
           file=sys.stderr)
+
+
+def _phases(spec, schedule, dev, obs, B):
+    """Per-phase seconds (transcript / plonk / fri), separately jitted.
+
+    The phase programs re-run the transcript (challenges feed both checks),
+    so plonk-only and fri-only are reported as deltas from transcript."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from plonky2_tpu import verifier
+    from plonky2_tpu.hash import poseidon_gl as pgl
+    from plonky2_tpu.transcript import challenger as chal
+    from plonky2_tpu.plonk_checks.vanishing import verify_plonk
+    from plonky2_tpu.fri.verify import verify_fri
+
+    def transcript_phase(dev, obs):
+        pi_hash = pgl.hash_no_pad(dev["public_inputs"])
+        states = chal.run_transcript(schedule, obs, pi_hash)
+        return pi_hash, verifier._extract_challenges(schedule, states)
+
+    def plonk_phase(dev, obs):
+        pi_hash, ch = transcript_phase(dev, obs)
+        return verify_plonk(spec, dev, ch, pi_hash, jnp.ones((B,), bool))
+
+    def fri_phase(dev, obs):
+        _, ch = transcript_phase(dev, obs)
+        return verify_fri(spec, dev, ch, jnp.ones((B,), bool))
+
+    try:
+        out = {}
+        for label, fn in [("transcript", transcript_phase),
+                          ("plonk", plonk_phase), ("fri", fri_phase)]:
+            jf = jax.jit(fn)
+            np.asarray(jax.tree_util.tree_leaves(jf(dev, obs))[0])
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(jax.tree_util.tree_leaves(jf(dev, obs))[0])
+                times.append(time.time() - t0)
+            out[label] = round(min(times), 4)
+        out["plonk_minus_transcript"] = round(out["plonk"] - out["transcript"], 4)
+        out["fri_minus_transcript"] = round(out["fri"] - out["transcript"], 4)
+        return out
+    except Exception as e:  # never fail the bench over the profile
+        print(f"# phases skipped: {e}", file=sys.stderr)
+        return {}
+
+
+def _decode_block(iters):
+    """Second fixture through the fully-traced path: the decode_block shape
+    family (degree 2^12, ConstantGate/ExponentiationGate; reference
+    fri/fri_test.go:23-104) executes on hardware, with the same
+    corrupted-lane soundness assert."""
+    import numpy as np
+    try:
+        B = int(os.environ.get("BENCH_DECODE_BATCH", "32"))
+        spec, batch = _load_batch("decode_block", B, corrupt_lane=1)
+        schedule, dev, obs = _prep(spec, batch)
+        verdicts, best, compile_time = _measure(spec, schedule, dev, obs, iters)
+        expected = np.ones(B, bool)
+        expected[1] = False
+        assert (verdicts == expected).all(), verdicts.tolist()
+        return {
+            "decode_block_proofs_per_sec": round(B / best, 3),
+            "decode_block_batch": B,
+            "decode_block_soundness": "corrupted lane 1 rejected",
+            "decode_block_compile_s": round(compile_time, 1),
+        }
+    except Exception as e:
+        print(f"# decode_block section skipped: {e}", file=sys.stderr)
+        return {}
 
 
 def _poseidon_micro():
@@ -106,10 +224,13 @@ def _poseidon_micro():
     import numpy as np
 
     try:
-        from plonky2_tpu.kernels import poseidon_bn254_pallas as pk
         from plonky2_tpu.hash import poseidon_bn254 as pb
         if jax.default_backend() != "tpu":
             return {}
+        if pb._kernel_impl() == "cios":
+            from plonky2_tpu.kernels import poseidon_bn254_pallas as pk
+        else:
+            from plonky2_tpu.kernels import poseidon_bn254_mxu as pk
         N, CHAIN = 8192, 10
         state = jnp.asarray(np.zeros((4, 16, N), np.uint32))
         fn = pk._permute_lanes_compiled(N, False)
@@ -123,11 +244,15 @@ def _poseidon_micro():
         perms_s = CHAIN * N / min(ts)
         # ~784 Montgomery multiplies per permutation, ~2e3 u32 lane-ops each;
         # v5e VPU peak ~= 8*128 lanes * 4 units * 0.94 GHz ~= 3.85e12 ops/s.
+        # (For the MXU kernel the mix runs as matmuls; the figure still uses
+        # the all-VPU op model, so it measures progress against the same
+        # fixed speed-of-light anchor across kernels.)
         ops_per_perm = 784 * 2000.0
         vpu_util = perms_s * ops_per_perm / 3.85e12
         return {
             "poseidon_bn254_perms_per_sec": round(perms_s),
             "est_vpu_util": round(vpu_util, 3),
+            "pb_kernel": pb._kernel_impl(),
         }
     except Exception as e:  # never fail the bench over the micro metric
         print(f"# poseidon micro skipped: {e}", file=sys.stderr)

@@ -125,6 +125,13 @@ def _use_pallas():
     return jax.default_backend() == "tpu"
 
 
+def _kernel_impl():
+    """Which Pallas kernel: 'mxu' (matmul linear layers, default) or 'cios'
+    (all-VPU first-generation kernel), via PLONKY2_TPU_PB_IMPL."""
+    import os
+    return os.environ.get("PLONKY2_TPU_PB_IMPL", "mxu")
+
+
 def _use_host_math():
     """Host-callback mode (CPU only): the permutation runs as one
     jax.pure_callback into the python-int reference implementation instead
@@ -132,7 +139,11 @@ def _use_host_math():
     traced graph of a production-size circuit in reasonable time (>15 min
     measured), so CPU structure tests opt in via PLONKY2_TPU_HOST_MATH=1;
     the permutation math itself is covered by golden-vector and Pallas
-    parity tests, and by bench.py on real TPU hardware."""
+    parity tests, and by bench.py on real TPU hardware.
+
+    Read at trace time; the verifier/mesh compile caches key on
+    (_use_host_math(), _use_pallas()) so toggling the env var within one
+    process retraces instead of reusing a stale executable."""
     import os
     import jax
     return (os.environ.get("PLONKY2_TPU_HOST_MATH") == "1"
@@ -142,7 +153,10 @@ def _use_host_math():
 def permute(state):
     """Full Poseidon-BN254 permutation; state (..., 4, 16) uint32, Montgomery."""
     if _use_pallas():
-        from ..kernels.poseidon_bn254_pallas import permute as _pp
+        if _kernel_impl() == "cios":
+            from ..kernels.poseidon_bn254_pallas import permute as _pp
+        else:
+            from ..kernels.poseidon_bn254_mxu import permute as _pp
         return _pp(state)
     if _use_host_math():
         return _permute_host(state)

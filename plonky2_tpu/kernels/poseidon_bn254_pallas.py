@@ -166,17 +166,11 @@ def _mont_mul_relaxed(a, b, p_col, extra=None):
 
 def _exp5_ark(x, ark, p_col):
     """x^5 + ark for x < 2p; output < 2p (ark fused into the last product,
-    then one conditional subtract of 2p)."""
+    then one conditional subtract of 2p).  ark may be None (plain x^5)."""
     x2 = _mont_mul_relaxed(x, x, p_col)
     x4 = _mont_mul_relaxed(x2, x2, p_col)
     x5a = _mont_mul_relaxed(x4, x, p_col, extra=ark)   # < 2p + p
-    return _cond_sub(x5a, _2P_INT_LIMBS)
-
-
-def _exp5(x, p_col):
-    x2 = _mont_mul_relaxed(x, x, p_col)
-    x4 = _mont_mul_relaxed(x2, x2, p_col)
-    return _mont_mul_relaxed(x4, x, p_col)
+    return _cond_sub(x5a, _2P_INT_LIMBS) if ark is not None else x5a
 
 
 # ---------------------------------------------------------------------------

@@ -23,14 +23,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-try:
-    from jax import shard_map as _shard_map
 
-    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs, check_vma=check_rep)
-except ImportError:  # older jax: experimental API (check_rep kwarg)
-    from jax.experimental.shard_map import shard_map
+
+def _make_shard_map():
+    """Version-portable shard_map: the replication-check kwarg was renamed
+    check_rep -> check_vma across jax releases, and the symbol moved from
+    jax.experimental to jax.  Select by signature, not by import success."""
+    import inspect
+    try:
+        from jax import shard_map as sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as sm
+    try:
+        params = inspect.signature(sm).parameters
+        kw = ("check_vma" if "check_vma" in params
+              else "check_rep" if "check_rep" in params else None)
+    except (TypeError, ValueError):
+        kw = None
+
+    def wrapped(f, mesh, in_specs, out_specs, check_rep=False):
+        kwargs = {kw: check_rep} if kw else {}
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  **kwargs)
+
+    return wrapped
+
+
+shard_map = _make_shard_map()
 
 from ..transcript import challenger as chal
 from .. import verifier as _verifier
@@ -42,7 +61,10 @@ def make_mesh(devices=None, axis_name="proof"):
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled_sharded(spec, batch_size, mesh, axis_name):
+def _compiled_sharded(spec, batch_size, mesh, axis_name, mode):
+    # `mode` captures trace-time env switches (host-math / pallas) so a
+    # toggle within one process retraces instead of reusing a stale
+    # executable (the traced graph reads them at trace time).
     schedule = chal.build_schedule(spec)
 
     def run_shard(dev, obs):
@@ -51,7 +73,7 @@ def _compiled_sharded(spec, batch_size, mesh, axis_name):
 
     n_dev = mesh.devices.size
     assert batch_size % n_dev == 0, (
-        f"batch size {batch_size} must divide by mesh size {n_dev}")
+        f"padded batch size {batch_size} must divide by mesh size {n_dev}")
 
     sharded = shard_map(
         run_shard, mesh=mesh,
@@ -61,10 +83,31 @@ def _compiled_sharded(spec, batch_size, mesh, axis_name):
     return jax.jit(sharded), schedule
 
 
-def verify_batch_sharded(spec, proof_batch, mesh, axis_name="proof"):
-    """Verify a batched serde dict with the batch axis sharded over `mesh`."""
+def pad_batch(proof_batch, multiple):
+    """Pad the leading batch axis up to a multiple by repeating lane 0.
+
+    Returns (padded_batch, real_count).  Padding lanes are real proofs, so
+    they verify fine; callers slice verdicts back to `real_count`."""
     B = proof_batch["pow_witness"].shape[0]
-    fn, schedule = _compiled_sharded(spec, B, mesh, axis_name)
+    pad = (-B) % multiple
+    if pad == 0:
+        return proof_batch, B
+    out = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)], axis=0)
+           for k, v in proof_batch.items()}
+    return out, B
+
+
+def verify_batch_sharded(spec, proof_batch, mesh, axis_name="proof"):
+    """Verify a batched serde dict with the batch axis sharded over `mesh`.
+
+    Uneven batches are padded up to the mesh size with copies of lane 0 and
+    the verdict vector sliced back, so any B >= 1 works on any mesh."""
+    from ..hash import poseidon_bn254 as pb
+    n_dev = mesh.devices.size
+    proof_batch, B = pad_batch(proof_batch, n_dev)
+    Bp = proof_batch["pow_witness"].shape[0]
+    mode = (pb._use_host_math(), pb._use_pallas(), pb._kernel_impl())
+    fn, schedule = _compiled_sharded(spec, Bp, mesh, axis_name, mode)
     obs = _verifier._split_u64(chal.build_observed_host(spec, proof_batch))
     dev = _verifier.proof_to_device(proof_batch)
-    return np.asarray(fn(dev, obs))
+    return np.asarray(fn(dev, obs))[:B]

@@ -271,3 +271,30 @@ def stack_proofs(proofs):
     """List of proof dicts (same circuit) -> batched dict (leading axis B)."""
     keys = proofs[0].keys()
     return {k: np.stack([p[k] for p in proofs]) for k in keys}
+
+
+def ingest_batch(spec, raw_pairs):
+    """Quarantined batch ingestion: one structurally-bad proof cannot kill
+    the batch (SURVEY.md section 5, failure-detection row).
+
+    raw_pairs: list of (proof_json_dict, verifier_only_json_dict).
+    Returns (batched_dict, valid_mask, errors): lanes whose ingestion raised
+    InvalidProofError are replaced by a copy of the first valid proof (so
+    the batch stays shape-consistent) and masked False; `errors` maps lane
+    index -> error message.  Raises only if NO lane is valid (there is no
+    shape to batch).  Pass valid_mask to verifier.verify_batch.
+    """
+    parsed, errors = [], {}
+    for i, (raw, vraw) in enumerate(raw_pairs):
+        try:
+            parsed.append(ingest_proof(spec, raw, vraw))
+        except InvalidProofError as e:
+            parsed.append(None)
+            errors[i] = str(e)
+    valid_mask = np.asarray([p is not None for p in parsed], dtype=bool)
+    if not valid_mask.any():
+        raise InvalidProofError(
+            f"all {len(raw_pairs)} proofs in batch invalid: {errors}")
+    filler = next(p for p in parsed if p is not None)
+    parsed = [p if p is not None else filler for p in parsed]
+    return stack_proofs(parsed), valid_mask, errors

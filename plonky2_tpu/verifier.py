@@ -29,31 +29,44 @@ from .plonk_checks.vanishing import verify_plonk
 from .fri.verify import verify_fri
 
 
-def _split_u64(arr):
+def _split_u64_np(arr):
     # split in numpy: jnp would silently truncate uint64 with x64 disabled
     arr = np.asarray(arr, dtype=np.uint64)
-    lo = jnp.asarray((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-    hi = jnp.asarray((arr >> np.uint64(32)).astype(np.uint32))
+    lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (arr >> np.uint64(32)).astype(np.uint32)
     return (lo, hi)
 
 
-def proof_to_device(proof):
-    """Batched numpy serde dict -> device dict with GL/QE limb pairs."""
+def _split_u64(arr):
+    lo, hi = _split_u64_np(arr)
+    return (jnp.asarray(lo), jnp.asarray(hi))
+
+
+def proof_to_device_np(proof):
+    """Batched numpy serde dict -> pytree of numpy GL/QE limb pairs.
+
+    Kept in numpy so multi-host feeding (parallel/distributed.py) can wrap
+    each leaf in a global array without a device round-trip."""
     dev = {}
     for k, v in proof.items():
         if v.dtype == np.uint64:
             if k.startswith("op_") or k == "final_poly" or k.endswith("_evals"):
                 # QE arrays (..., n, 2)
-                comp0 = _split_u64(v[..., 0])
-                comp1 = _split_u64(v[..., 1])
+                comp0 = _split_u64_np(v[..., 0])
+                comp1 = _split_u64_np(v[..., 1])
                 dev[k] = (comp0, comp1)
             elif k.endswith("_tovec"):
                 continue  # folded into the observed sequence host-side
             else:
-                dev[k] = _split_u64(v)
+                dev[k] = _split_u64_np(v)
         else:
-            dev[k] = jnp.asarray(v)
+            dev[k] = np.asarray(v)
     return dev
+
+
+def proof_to_device(proof):
+    """Batched numpy serde dict -> device dict with GL/QE limb pairs."""
+    return jax.tree.map(jnp.asarray, proof_to_device_np(proof))
 
 
 def _extract_challenges(schedule, states):
@@ -96,7 +109,10 @@ def _verify_device(spec, schedule, dev, obs, diagnostics=False):
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled_verifier(spec, batch_size):
+def _compiled_verifier(spec, batch_size, mode):
+    # `mode` captures trace-time env switches (host-math / pallas kernel) so
+    # toggling them within one process retraces instead of silently reusing
+    # an executable compiled under the other mode.
     schedule = chal.build_schedule(spec)
 
     def run(dev, obs):
@@ -105,14 +121,26 @@ def _compiled_verifier(spec, batch_size):
     return jax.jit(run), schedule
 
 
-def verify_batch(spec, proof_batch):
-    """Verify a batched serde dict (leading axis B). Returns (B,) bool."""
+def _mode_key():
+    from .hash import poseidon_bn254 as pb
+    return (pb._use_host_math(), pb._use_pallas(), pb._kernel_impl())
+
+
+def verify_batch(spec, proof_batch, valid_mask=None):
+    """Verify a batched serde dict (leading axis B). Returns (B,) bool.
+
+    valid_mask: optional (B,) bool from quarantined ingestion
+    (serde.ingest_batch): lanes that failed structural validation at load
+    time are forced to False without aborting the batch."""
     B = proof_batch["pow_witness"].shape[0]
-    fn, schedule = _compiled_verifier(spec, B)
+    fn, schedule = _compiled_verifier(spec, B, _mode_key())
     obs_np = chal.build_observed_host(spec, proof_batch)
     obs = _split_u64(obs_np)
     dev = proof_to_device(proof_batch)
-    return np.asarray(fn(dev, obs))
+    out = np.asarray(fn(dev, obs))
+    if valid_mask is not None:
+        out = out & np.asarray(valid_mask, dtype=bool)
+    return out
 
 
 def verify_one(spec, proof):

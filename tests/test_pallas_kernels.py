@@ -37,3 +37,22 @@ def test_poseidon_bn254_kernel_batched_shapes():
     ref = np.asarray(pbj._permute_jnp(st))
     got = np.asarray(pk.permute(st, interpret=True))
     assert np.array_equal(ref, got)
+
+
+def test_poseidon_bn254_mxu_kernel_matches_jnp():
+    """MXU kernel (matmul linear layers) must be bit-exact with the jnp
+    path -- the bf16 matmul is exact because inputs are bytes (< 256) and
+    f32-accumulated column sums stay < 2^24."""
+    from plonky2_tpu.kernels import poseidon_bn254_mxu as mk
+    st = _random_states(5, seed=7)
+    ref = np.asarray(pbj._permute_jnp(st))
+    got = np.asarray(mk.permute(st, interpret=True))
+    assert np.array_equal(ref, got)
+
+
+def test_poseidon_bn254_mxu_kernel_batched_shapes():
+    from plonky2_tpu.kernels import poseidon_bn254_mxu as mk
+    st = _random_states(6, seed=8).reshape(3, 2, 4, 16)
+    ref = np.asarray(pbj._permute_jnp(st))
+    got = np.asarray(mk.permute(st, interpret=True))
+    assert np.array_equal(ref, got)

@@ -78,3 +78,36 @@ def test_decode_block_valid_and_corrupted_batch():
     batch = serde.stack_proofs([proof, bad_opening, bad_leaf, bad_pow])
     got = verifier.verify_batch(spec, batch)
     assert got.tolist() == [True, False, False, False]
+
+
+def test_ingest_batch_quarantines_malformed_proofs():
+    """A structurally-malformed proof must not abort batch ingestion: its
+    lane is masked False and every other lane still verifies
+    (SURVEY.md section 5 failure-detection row; the reference panics because
+    it verifies one proof per process -- a batch verifier must not)."""
+    import json
+    spec = load_circuit_spec("testdata/decode_block/common_circuit_data.json")
+    with open("testdata/decode_block/proof_with_public_inputs.json") as f:
+        raw = json.load(f)
+    with open("testdata/decode_block/verifier_only_circuit_data.json") as f:
+        vraw = json.load(f)
+
+    bad_shape = copy.deepcopy(raw)          # truncated openings
+    bad_shape["proof"]["openings"]["wires"] = \
+        bad_shape["proof"]["openings"]["wires"][:-1]
+    bad_range = copy.deepcopy(raw)          # non-canonical GL element (= p)
+    bad_range["proof"]["openings"]["wires"][0][0] = 18446744069414584321
+
+    batch, mask, errors = serde.ingest_batch(
+        spec, [(raw, vraw), (bad_shape, vraw), (bad_range, vraw)])
+    assert mask.tolist() == [True, False, False]
+    assert sorted(errors) == [1, 2]
+    assert "length mismatch" in errors[1]
+    assert "non-canonical" in errors[2]
+
+    got = verifier.verify_batch(spec, batch, valid_mask=mask)
+    assert got.tolist() == [True, False, False]
+
+    # an all-invalid batch has no shape to run: the only case that raises
+    with pytest.raises(serde.InvalidProofError):
+        serde.ingest_batch(spec, [(bad_shape, vraw)])
