@@ -25,7 +25,7 @@ Prints ONE json line:
    "vs_baseline": ratio, "phases": {...}, "decode_block_proofs_per_sec": N,
    ...}
 
-Env knobs: BENCH_BATCH (default 32), BENCH_ITERS (5), BENCH_FIXTURE
+Env knobs: BENCH_BATCH (default 256 -- the measured knee), BENCH_ITERS (5), BENCH_FIXTURE
 ("step"), BENCH_PHASES=0 / BENCH_DECODE=0 to skip the extra sections.
 
 NOTE on timing: on the axon TPU tunnel, `block_until_ready()` returns
@@ -102,7 +102,7 @@ def main():
     cache_dir = enable_persistent_cache()
 
     name = os.environ.get("BENCH_FIXTURE", "step")
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     corrupt_lane = 1 if batch_size > 1 else None
 
@@ -194,7 +194,7 @@ def _decode_block(iters):
     corrupted-lane soundness assert."""
     import numpy as np
     try:
-        B = int(os.environ.get("BENCH_DECODE_BATCH", "32"))
+        B = int(os.environ.get("BENCH_DECODE_BATCH", "128"))
         spec, batch = _load_batch("decode_block", B, corrupt_lane=1)
         schedule, dev, obs = _prep(spec, batch)
         verdicts, best, compile_time = _measure(spec, schedule, dev, obs, iters)
@@ -234,7 +234,11 @@ def _poseidon_micro():
         N, CHAIN = 8192, 10
         state = jnp.asarray(np.zeros((4, 16, N), np.uint32))
         fn = pk._permute_lanes_compiled(N, False)
-        cf = jax.jit(lambda x: [x := fn(x) for _ in range(CHAIN)][-1])
+        # fetch only a 128-lane slice of the result: it still forces the
+        # full chain to complete, but avoids timing a 2MB device->host copy
+        # over the axon tunnel (which halves the apparent perms/s)
+        cf = jax.jit(
+            lambda x: [x := fn(x) for _ in range(CHAIN)][-1][0, 0, :128])
         np.asarray(cf(state))
         ts = []
         for _ in range(3):

@@ -119,7 +119,9 @@ def verify_fri(spec, dev, challenges, verdict):
     Returns updated verdict (B,) bool.
     """
     B = dev["pow_witness"][0].shape[0]
-    Q = spec.num_query_rounds
+    # Q from the data, not the spec: under query-axis sharding
+    # (parallel/mesh.py 2-D path) each shard sees only its rounds.
+    Q = dev["init_siblings"].shape[1]
     lde_bits = spec.lde_bits
 
     # --- proof of work: powResponse must fit in 64 - pow_bits bits

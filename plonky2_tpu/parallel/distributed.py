@@ -133,13 +133,12 @@ def verify_batch_distributed(spec, local_batch, mesh=None, axis_name="proof"):
     (identical on every host, via the all_gather collective) and the global
     accept count (via psum).
     """
-    from ..hash import poseidon_bn254 as pb
     mesh = mesh if mesh is not None else global_mesh(axis_name)
     n_local_dev = jax.local_device_count()
     local_batch, _ = pad_batch(local_batch, n_local_dev)
     B_local = local_batch["pow_witness"].shape[0]
     B_global = B_local * jax.process_count()
-    mode = (pb._use_host_math(), pb._use_pallas(), pb._kernel_impl())
+    mode = _verifier._mode_key()
     fn, _ = _compiled_distributed(spec, B_global, mesh, axis_name, mode)
     dev, obs = feed_local_batch(spec, local_batch, mesh, axis_name)
     verdicts, n_accept = fn(dev, obs)

@@ -102,12 +102,94 @@ def verify_batch_sharded(spec, proof_batch, mesh, axis_name="proof"):
 
     Uneven batches are padded up to the mesh size with copies of lane 0 and
     the verdict vector sliced back, so any B >= 1 works on any mesh."""
-    from ..hash import poseidon_bn254 as pb
     n_dev = mesh.devices.size
     proof_batch, B = pad_batch(proof_batch, n_dev)
     Bp = proof_batch["pow_witness"].shape[0]
-    mode = (pb._use_host_math(), pb._use_pallas(), pb._kernel_impl())
+    mode = _verifier._mode_key()
     fn, schedule = _compiled_sharded(spec, Bp, mesh, axis_name, mode)
     obs = _verifier._split_u64(chal.build_observed_host(spec, proof_batch))
     dev = _verifier.proof_to_device(proof_batch)
+    return np.asarray(fn(dev, obs))[:B]
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh: ("proof", "query") -- shard FRI query rounds across chips too
+# ---------------------------------------------------------------------------
+
+# serde keys whose axis 1 (after batching) is the FRI query-round axis
+_QUERY_AXIS_KEYS = ("init_leaves_0", "init_leaves_1", "init_leaves_2",
+                    "init_leaves_3", "init_leaf_packed", "init_siblings")
+
+
+def _query_keys(spec):
+    return _QUERY_AXIS_KEYS + tuple(
+        f"step{j}_{part}" for j in range(len(spec.reduction_arity_bits))
+        for part in ("evals", "leaf_packed", "siblings"))
+
+
+def make_mesh_2d(devices=None, shape=None, axis_names=("proof", "query")):
+    """2-D mesh over (proof-batch, FRI-query-round) axes.
+
+    Useful when the proof batch alone cannot fill a slice: the 28+
+    independent query rounds per proof (reference fri/fri.go:533-547) are a
+    second embarrassingly-parallel axis (SURVEY.md section 2.4 row 2)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (devices.size, 1)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_sharded_2d(spec, batch_size, mesh, mode):
+    schedule = chal.build_schedule(spec)
+    n_proof = mesh.shape["proof"]
+    n_query = mesh.shape["query"]
+    assert batch_size % n_proof == 0, (batch_size, n_proof)
+    assert spec.num_query_rounds % n_query == 0, (
+        f"{spec.num_query_rounds} query rounds must divide by the query "
+        f"mesh axis {n_query}")
+
+    def run_shard(dev, obs):
+        # local verdict: plonk (replicated over "query") AND the local
+        # query rounds' FRI checks; a proof is valid iff NO query shard
+        # rejects -- one psum of the reject bits across "query".
+        v_local = _verifier._verify_device(
+            spec, schedule, dev, obs, query_shard=("query", n_query))
+        n_bad = jax.lax.psum((~v_local).astype(jnp.int32), "query")
+        return n_bad == 0
+
+    qkeys = set(_query_keys(spec))
+    dev_specs = {}
+    for key in _template_keys(spec):
+        dev_specs[key] = (P("proof", "query") if key in qkeys
+                          else P("proof"))
+    sharded = shard_map(
+        run_shard, mesh=mesh,
+        in_specs=(dev_specs, P("proof")),
+        out_specs=P("proof"),
+        check_rep=False)
+    return jax.jit(sharded), schedule
+
+
+def _template_keys(spec):
+    """Device-dict keys for a spec (serde layout, minus host-only _tovec)."""
+    keys = ["public_inputs", "op_constants", "op_plonk_sigmas", "op_wires",
+            "op_plonk_zs", "op_plonk_zs_next", "op_partial_products",
+            "op_quotient_polys", "final_poly", "pow_witness", "wires_cap",
+            "zs_pp_cap", "quotient_cap", "const_sigmas_cap",
+            "circuit_digest", "commit_caps"]
+    keys += list(_query_keys(spec))
+    return keys
+
+
+def verify_batch_sharded_2d(spec, proof_batch, mesh):
+    """Verify with the proof batch AND the FRI query rounds sharded over a
+    2-D ("proof", "query") mesh.  Returns (B,) bool verdicts."""
+    n_proof = mesh.shape["proof"]
+    proof_batch, B = pad_batch(proof_batch, n_proof)
+    Bp = proof_batch["pow_witness"].shape[0]
+    fn, schedule = _compiled_sharded_2d(spec, Bp, mesh, _verifier._mode_key())
+    obs = _verifier._split_u64(chal.build_observed_host(spec, proof_batch))
+    dev = _verifier.proof_to_device(proof_batch)
+    dev = {k: dev[k] for k in _template_keys(spec)}
     return np.asarray(fn(dev, obs))[:B]

@@ -18,11 +18,12 @@ from ..fields import bn254
 from ..hash import poseidon_bn254 as pb
 
 
-def make_tiny_spec():
-    """Smallest internally-consistent spec: 1 challenge, 1 query round,
-    cap height 0, arity 2.  Oracles 2 and 3 (Zs+partial products, quotient)
-    have 2 leaf elements each, so the HashOrNoop path (reference
-    poseidon/bn254.go:79-94) is exercised by every dryrun."""
+def make_tiny_spec(num_query_rounds=1):
+    """Smallest internally-consistent spec: 1 challenge, 1 query round
+    (overridable, e.g. for query-axis sharding tests), cap height 0,
+    arity 2.  Oracles 2 and 3 (Zs+partial products, quotient) have 2 leaf
+    elements each, so the HashOrNoop path (reference poseidon/bn254.go:79-94)
+    is exercised by every dryrun."""
     return CircuitSpec(
         num_wires=8,
         num_routed_wires=4,
@@ -32,7 +33,7 @@ def make_tiny_spec():
         rate_bits=3,
         cap_height=0,
         pow_bits=0,
-        num_query_rounds=1,
+        num_query_rounds=num_query_rounds,
         degree_bits=2,
         reduction_arity_bits=(1,),
         gate_ids=("NoopGate",

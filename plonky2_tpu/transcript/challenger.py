@@ -183,13 +183,36 @@ def build_observed_host(spec, proof):
     return np.concatenate(parts, axis=axis)
 
 
+def _use_gl_kernel():
+    """Pallas transcript kernel on TPU (whole scan in one launch; bit-exact
+    parity-tested vs the jnp path).  Env override PLONKY2_TPU_GL_KERNEL=0/1."""
+    import os
+    flag = os.environ.get("PLONKY2_TPU_GL_KERNEL")
+    if flag is not None:
+        return flag not in ("0", "false")
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def run_transcript(schedule, obs_host, pi_hash):
     """Device transcript: returns stacked post-permutation states.
 
     obs_host: (B, n_obs) uint64-as-two-u32? -- here a GL pair of (B, n_obs).
     pi_hash: GL pair of shape (B, 4).
     Returns GL pair of shape (n_perms, B, 12).
-    """
+
+    On TPU the entire scan runs as one Pallas kernel
+    (kernels/poseidon_gl_pallas.py): the sponge is ~50-130 *sequential*
+    permutations on a small (B, 12) state, which as XLA ops costs ~35 ms of
+    pure dispatch latency regardless of B (bench.py phases.transcript)."""
+    if _use_gl_kernel():
+        from ..kernels.poseidon_gl_pallas import run_transcript_kernel
+        return run_transcript_kernel(schedule, obs_host, pi_hash)
+    return _run_transcript_jnp(schedule, obs_host, pi_hash)
+
+
+def _run_transcript_jnp(schedule, obs_host, pi_hash):
+    """Portable jnp scan path (CPU tests, kernel cross-checks)."""
     off = schedule.pi_hash_offset
     lo = jax.lax.dynamic_update_slice_in_dim(obs_host[0], pi_hash[0], off, axis=-1)
     hi = jax.lax.dynamic_update_slice_in_dim(obs_host[1], pi_hash[1], off, axis=-1)

@@ -90,12 +90,25 @@ def _extract_challenges(schedule, states):
     }
 
 
-def _verify_device(spec, schedule, dev, obs, diagnostics=False):
+def _verify_device(spec, schedule, dev, obs, diagnostics=False,
+                   query_shard=None):
+    """query_shard: optional (mesh_axis_name, n_shards) when the FRI query
+    rounds are sharded over a second mesh axis (parallel/mesh.py 2-D path):
+    dev's query-axis arrays hold only this shard's rounds, so the
+    transcript's full query-index vector is sliced to the local window."""
     B = obs[0].shape[0]
     # public inputs hash (reference verifier/verifier.go:41-43)
     pi_hash = pgl.hash_no_pad(dev["public_inputs"])
     states = chal.run_transcript(schedule, obs, pi_hash)
     challenges = _extract_challenges(schedule, states)
+    if query_shard is not None:
+        axis_name, n_shards = query_shard
+        qi = challenges["query_indices"]
+        q_local = qi[0].shape[-1] // n_shards
+        start = jax.lax.axis_index(axis_name) * q_local
+        challenges = dict(challenges, query_indices=(
+            jax.lax.dynamic_slice_in_dim(qi[0], start, q_local, axis=-1),
+            jax.lax.dynamic_slice_in_dim(qi[1], start, q_local, axis=-1)))
 
     # pow_witness hashes to pow_response structurally via the transcript;
     # the leading-zero check happens in verify_fri.
@@ -123,7 +136,9 @@ def _compiled_verifier(spec, batch_size, mode):
 
 def _mode_key():
     from .hash import poseidon_bn254 as pb
-    return (pb._use_host_math(), pb._use_pallas(), pb._kernel_impl())
+    from .transcript import challenger as chal
+    return (pb._use_host_math(), pb._use_pallas(), pb._kernel_impl(),
+            chal._use_gl_kernel())
 
 
 def verify_batch(spec, proof_batch, valid_mask=None):

@@ -42,6 +42,47 @@ def test_tiny_dummy_batch_sharded_rejects(monkeypatch):
     assert not verdicts.any()
 
 
+def test_tiny_2d_mesh_proof_by_query(monkeypatch):
+    """2-D ("proof", "query") mesh: 4-way proof batch x 2-way FRI
+    query-round sharding (SURVEY.md section 2.4 row 2).  Dummy proofs must
+    be rejected on every lane; the reject must survive the cross-query
+    psum reduction regardless of which query shard catches it.
+
+    Fully-traced math (tiny spec)."""
+    spec = make_tiny_spec(num_query_rounds=4)
+    mesh = pmesh.make_mesh_2d(jax.devices(), (4, 2))
+    batch = serde.stack_proofs([make_dummy_proof(spec, seed=i)
+                                for i in range(4)])
+    verdicts = pmesh.verify_batch_sharded_2d(spec, batch, mesh)
+    assert verdicts.shape == (4,)
+    assert not verdicts.any()
+
+
+@pytest.mark.slow
+def test_decode_block_2d_mesh_accepts_and_rejects():
+    """Real proofs on the 2-D mesh: positive accept + exact reject
+    (host-math mode; the traced equivalent is the tiny-spec default test)."""
+    import copy, json
+    os.environ["PLONKY2_TPU_HOST_MATH"] = "1"
+    try:
+        spec = load_circuit_spec(
+            f"{ROOT}/testdata/decode_block/common_circuit_data.json")
+        with open(f"{ROOT}/testdata/decode_block/proof_with_public_inputs.json") as f:
+            raw = json.load(f)
+        with open(f"{ROOT}/testdata/decode_block/verifier_only_circuit_data.json") as f:
+            vraw = json.load(f)
+        good = serde.ingest_proof(spec, raw, vraw)
+        bad_raw = copy.deepcopy(raw)
+        bad_raw["proof"]["openings"]["wires"][0][0] ^= 1
+        bad = serde.ingest_proof(spec, bad_raw, vraw)
+        mesh = pmesh.make_mesh_2d(jax.devices(), (2, 4))
+        batch = serde.stack_proofs([good, bad])
+        verdicts = pmesh.verify_batch_sharded_2d(spec, batch, mesh)
+        assert verdicts.tolist() == [True, False]
+    finally:
+        os.environ.pop("PLONKY2_TPU_HOST_MATH", None)
+
+
 @pytest.mark.slow
 def test_decode_block_sharded_accepts_and_rejects():
     """Real proofs across the mesh: 8 copies of the decode_block proof, one

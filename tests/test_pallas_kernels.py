@@ -56,3 +56,26 @@ def test_poseidon_bn254_mxu_kernel_batched_shapes():
     ref = np.asarray(pbj._permute_jnp(st))
     got = np.asarray(mk.permute(st, interpret=True))
     assert np.array_equal(ref, got)
+
+
+def test_transcript_kernel_matches_jnp_scan():
+    """The one-launch Pallas transcript kernel must reproduce the jnp scan
+    path bit-exactly on a real schedule (decode_block: 125 permutations)."""
+    from plonky2_tpu.proof.spec import load_circuit_spec
+    from plonky2_tpu.transcript import challenger as chal
+    from plonky2_tpu.kernels import poseidon_gl_pallas as gk
+    from plonky2_tpu import verifier
+
+    spec = load_circuit_spec("testdata/decode_block/common_circuit_data.json")
+    schedule = chal.build_schedule(spec)
+    B = 2
+    rng = np.random.default_rng(3)
+    obs = verifier._split_u64(
+        rng.integers(0, chal.gl.P, size=(B, schedule.n_obs), dtype=np.uint64))
+    pi = verifier._split_u64(
+        rng.integers(0, chal.gl.P, size=(B, 4), dtype=np.uint64))
+
+    ref = chal._run_transcript_jnp(schedule, obs, pi)
+    got = gk.run_transcript_kernel(schedule, obs, pi, interpret=True)
+    assert np.array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    assert np.array_equal(np.asarray(ref[1]), np.asarray(got[1]))
