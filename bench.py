@@ -74,7 +74,14 @@ def _prep(spec, batch):
     schedule = chal.build_schedule(spec)
     obs = verifier._split_u64(chal.build_observed_host(spec, batch))
     dev = verifier.proof_to_device(batch)
-    return schedule, jax.device_put(dev), jax.device_put(obs)
+    t0 = time.time()
+    dev = jax.block_until_ready(jax.device_put(dev))
+    obs = jax.block_until_ready(jax.device_put(obs))
+    transfer = time.time() - t0
+    nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(dev))
+    print(f"# host->device transfer: {nbytes/1e6:.0f} MB in {transfer:.1f}s",
+          file=sys.stderr)
+    return schedule, dev, obs
 
 
 def _measure(spec, schedule, dev, obs, iters):

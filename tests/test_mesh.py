@@ -42,6 +42,21 @@ def test_tiny_dummy_batch_sharded_rejects(monkeypatch):
     assert not verdicts.any()
 
 
+def test_pad_batch_uneven():
+    """Uneven batches pad with copies of lane 0 (valid proofs, so padding
+    lanes verify fine) and report the real count for verdict slicing."""
+    spec = make_tiny_spec()
+    batch = serde.stack_proofs([make_dummy_proof(spec, seed=i)
+                                for i in range(5)])
+    padded, real = pmesh.pad_batch(batch, 8)
+    assert real == 5
+    for k, v in padded.items():
+        assert v.shape[0] == 8, k
+        assert (v[5] == v[0]).all() and (v[7] == v[0]).all(), k
+    same, real2 = pmesh.pad_batch(batch, 5)
+    assert real2 == 5 and same is batch
+
+
 def test_tiny_2d_mesh_proof_by_query(monkeypatch):
     """2-D ("proof", "query") mesh: 4-way proof batch x 2-way FRI
     query-round sharding (SURVEY.md section 2.4 row 2).  Dummy proofs must
