@@ -45,14 +45,60 @@ def measure(spec, batch, mesh, iters=5):
             "proofs_per_sec": B / min(times), "compile_s": round(compile_s, 1)}
 
 
+def measure_processes(proc_counts, b_local=4):
+    """Multi-process (multi-'host') scaling via parallel/distributed.py:
+    spawn N jax.distributed worker processes on localhost (gloo) and time
+    the globally-sharded verifier from rank 0.  Same caveat as the virtual
+    sweep: processes share 2 physical cores here, so this validates the
+    full distributed path (initialize -> per-host shard feeding -> verdict
+    collectives), not hardware scaling."""
+    import socket
+    import subprocess
+    import tempfile
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_scaling_worker.py")
+    results = []
+    for nproc in proc_counts:
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        out = tempfile.mktemp(suffix=".json")
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("XLA_FLAGS", None)
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(i), str(nproc), str(port),
+             str(b_local), out], env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            for i in range(nproc)]
+        ok = all(p.wait(timeout=900) == 0 for p in procs)
+        if ok and os.path.exists(out):
+            with open(out) as f:
+                r = json.load(f)
+            results.append(r)
+            print(f"# processes={nproc} {r['proofs_per_sec']:.1f} proofs/s "
+                  f"(compile {r['compile_s']}s)", file=sys.stderr)
+        else:
+            print(f"# processes={nproc} FAILED", file=sys.stderr)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1,2,8")
     ap.add_argument("--total-batch", type=int, default=8)
+    ap.add_argument("--processes", default="",
+                    help="also run multi-process points, e.g. 1,2")
     ap.add_argument("--out", default=None)
     ap.add_argument("--tpu", action="store_true",
                     help="single-chip TPU point instead of the virtual sweep")
     args = ap.parse_args()
+
+    proc_results = []
+    if args.processes:
+        proc_results = measure_processes(
+            [int(x) for x in args.processes.split(",")])
 
     if not args.tpu:
         flags = os.environ.get("XLA_FLAGS", "")
@@ -102,6 +148,7 @@ def main():
         "workload": "tiny synthetic spec, fully-traced math, strong scaling "
                     f"(fixed total batch {B})",
         "results": results,
+        "process_results": proc_results,
         "caveat": ("virtual CPU devices share 2 physical cores: this "
                    "validates the sharded program at every mesh size, not "
                    "hardware scaling (no multi-chip hardware available; "
