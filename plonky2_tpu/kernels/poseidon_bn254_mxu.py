@@ -202,6 +202,9 @@ def _kernel(p_ref, ark0_ref, arks_f_ref, part_c_ref, arks_s_ref,
         ark = arks_ref[r]
         # _exp5_ark output < 2p but only *clean* after its cond_sub; REDC
         # wants clean inputs for the byte split -- _exp5_ark provides that.
+        # (A lane-batched 4-in-1 S-box variant measured NEUTRAL here --
+        # the kernel is VPU-throughput-bound, not instruction-issue-bound,
+        # so fewer/wider ops buy nothing; see BASELINE.md roofline.)
         s = [ck._exp5_ark(x, ark[j], p_col) for j, x in enumerate(s)]
         return _linear_layer(s, mats_ref[r], p_col)
 

@@ -1,18 +1,24 @@
-"""Multi-chip / multi-host scaling: shard the proof batch over a device mesh.
+"""Multi-chip scaling: shard the proof batch (and FRI query rounds) over a
+device mesh.
 
 The reference is a single-process library (SURVEY.md section 2.4); scaling
 here is TPU-native: the proof batch is the data-parallel axis ("proof"),
 sharded with `shard_map` over a `jax.sharding.Mesh`; per-proof verification
 is embarrassingly parallel, so the only collective is an all-gather of the
-verdict bits (rides ICI).  Optionally a second mesh axis ("query") can
-subdivide FRI query rounds across chips -- round 1 exposes the proof axis.
+verdict bits (rides ICI).  A second mesh axis ("query") subdivides the
+independent FRI query rounds across chips (verify_batch_sharded_2d) for
+when the proof batch alone cannot fill a slice; its only collective is a
+psum AND-reduction of per-shard verdicts.
 
 Usage:
     mesh = make_mesh()                     # all local devices on axis "proof"
     verdicts = verify_batch_sharded(spec, proof_batch, mesh)
 
-For multi-host pods, call jax.distributed.initialize() first; each host
-feeds its local shard of the batch.
+    mesh2 = make_mesh_2d(shape=(4, 2))     # ("proof", "query")
+    verdicts = verify_batch_sharded_2d(spec, proof_batch, mesh2)
+
+For multi-host pods use parallel/distributed.py, which composes this over
+jax.distributed with per-host shard feeding and verdict collectives.
 """
 
 from __future__ import annotations
