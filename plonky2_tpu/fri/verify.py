@@ -34,17 +34,19 @@ def _bits_to_index(bits):
     return idx
 
 
-def exp_from_bits_const_base(base, bits):
-    """base^(sum bits_i 2^i) for python-int base, traced bits
-    (reference fri/fri.go:159-185)."""
-    shape = bits[0].shape
-    product = gl.ones(shape)
-    pw = base % gl.P
-    for b in bits:
-        term = gl.mul_const(product, pw)
-        product = gl.select(b.astype(bool), term, product)
-        pw = (pw * pw) % gl.P
-    return product
+def _pow_ok(pr, pow_bits):
+    """Proof-of-work check: the pow response must fit in 64 - pow_bits bits
+    (reference fri/fri.go:75-80 does this as RangeCheckWithMaxBits).
+    pr: GL pair (lo, hi) of the (canonical) pow_response challenge."""
+    max_bits = 64 - pow_bits
+    if max_bits < 32:
+        return (pr[1] == 0) & (pr[0] < jnp.uint32(1 << max_bits))
+    if max_bits == 32:
+        return pr[1] == 0
+    if max_bits < 64:
+        return pr[1] < jnp.uint32(1 << (max_bits - 32))
+    # pow_bits == 0: any canonical value passes
+    return jnp.ones(pr[0].shape, bool)
 
 
 def _merkle_chain(digest, siblings, index_bits, depth):
@@ -126,17 +128,7 @@ def verify_fri(spec, dev, challenges, verdict):
 
     # --- proof of work: powResponse must fit in 64 - pow_bits bits
     # (reference fri/fri.go:75-80)
-    pr = challenges["pow_response"]
-    max_bits = 64 - spec.pow_bits
-    if max_bits < 32:
-        ok = (pr[1] == 0) & (pr[0] < jnp.uint32(1 << max_bits))
-    elif max_bits == 32:
-        ok = pr[1] == 0
-    elif max_bits < 64:
-        ok = pr[1] < jnp.uint32(1 << (max_bits - 32))
-    else:  # pow_bits == 0: any canonical value passes
-        ok = jnp.ones(pr[0].shape, bool)
-    verdict = verdict & ok
+    verdict = verdict & _pow_ok(challenges["pow_response"], spec.pow_bits)
 
     # --- precomputed reduced openings (reference fri/fri.go:82-95)
     alpha = challenges["fri_alpha"]

@@ -176,3 +176,30 @@ def test_noncanonical_indices_check():
     bad = dataclasses.replace(spec, rate_bits=50)
     with pytest.raises(ValueError, match="non-canonical"):
         bad.assert_noncanonical_indices_ok()
+
+
+def test_fri_pow_check_all_branches():
+    """The proof-of-work bound (reference fri/fri.go:75-80) across all four
+    trace-time branches of 64 - pow_bits: <32, ==32, in (32,64), ==64."""
+    import numpy as np
+    import jax.numpy as jnp
+    from plonky2_tpu.fri.verify import _pow_ok
+
+    def pr(v):
+        v = int(v)
+        return (jnp.asarray([v & 0xFFFFFFFF], jnp.uint32),
+                jnp.asarray([v >> 32], jnp.uint32))
+
+    # pow_bits=40 -> max_bits=24
+    assert bool(_pow_ok(pr((1 << 24) - 1), 40)[0])
+    assert not bool(_pow_ok(pr(1 << 24), 40)[0])
+    assert not bool(_pow_ok(pr(1 << 35), 40)[0])
+    # pow_bits=32 -> max_bits=32
+    assert bool(_pow_ok(pr((1 << 32) - 1), 32)[0])
+    assert not bool(_pow_ok(pr(1 << 32), 32)[0])
+    # pow_bits=16 -> max_bits=48 (the step/decode_block configuration)
+    assert bool(_pow_ok(pr((1 << 48) - 1), 16)[0])
+    assert not bool(_pow_ok(pr(1 << 48), 16)[0])
+    assert bool(_pow_ok(pr(123), 16)[0])
+    # pow_bits=0 -> every canonical value passes
+    assert bool(_pow_ok(pr((1 << 63) + 5), 0)[0])
