@@ -33,7 +33,6 @@ before single pallas_call dispatches complete (verified empirically), so
 every measured iteration ends with a host fetch of the (tiny) verdict
 array, which forces real completion.
 """
-import copy
 import json
 import os
 import sys
@@ -49,20 +48,15 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def _load_batch(name, batch_size, corrupt_lane=None):
-    from plonky2_tpu.proof.spec import load_circuit_spec
     from plonky2_tpu.proof import serde
+    from plonky2_tpu.proof.fixtures import load_fixture, corrupt_wires_opening
 
-    spec = load_circuit_spec(f"{ROOT}/testdata/{name}/common_circuit_data.json")
-    with open(f"{ROOT}/testdata/{name}/proof_with_public_inputs.json") as f:
-        raw = json.load(f)
-    with open(f"{ROOT}/testdata/{name}/verifier_only_circuit_data.json") as f:
-        vraw = json.load(f)
+    spec, raw, vraw = load_fixture(f"{ROOT}/testdata/{name}")
     good = serde.ingest_proof(spec, raw, vraw)
     proofs = [good] * batch_size
     if corrupt_lane is not None and batch_size > 1:
-        bad_raw = copy.deepcopy(raw)
-        bad_raw["proof"]["openings"]["wires"][0][0] ^= 1
-        proofs[corrupt_lane] = serde.ingest_proof(spec, bad_raw, vraw)
+        proofs[corrupt_lane] = serde.ingest_proof(
+            spec, corrupt_wires_opening(raw), vraw)
     return spec, serde.stack_proofs(proofs)
 
 
@@ -131,7 +125,9 @@ def main():
         "unit": "proofs/s",
         "vs_baseline": round(throughput / CPU_BASELINE_PROOFS_PER_SEC, 2),
         "baseline_anchor": "python-int cpu_reference 1.53 s/proof (see BASELINE.md; reference repo publishes no numbers)",
-        "soundness": f"corrupted lane {corrupt_lane} rejected, {batch_size-1} accepted",
+        "soundness": (
+            f"corrupted lane {corrupt_lane} rejected, {batch_size-1} accepted"
+            if corrupt_lane is not None else "single-proof accept"),
         "batch": batch_size,
         "compile_s": round(compile_time, 1),
     }
@@ -202,16 +198,20 @@ def _decode_block(iters):
     import numpy as np
     try:
         B = int(os.environ.get("BENCH_DECODE_BATCH", "128"))
-        spec, batch = _load_batch("decode_block", B, corrupt_lane=1)
+        corrupt_lane = 1 if B > 1 else None
+        spec, batch = _load_batch("decode_block", B, corrupt_lane=corrupt_lane)
         schedule, dev, obs = _prep(spec, batch)
         verdicts, best, compile_time = _measure(spec, schedule, dev, obs, iters)
         expected = np.ones(B, bool)
-        expected[1] = False
+        if corrupt_lane is not None:
+            expected[corrupt_lane] = False
         assert (verdicts == expected).all(), verdicts.tolist()
         return {
             "decode_block_proofs_per_sec": round(B / best, 3),
             "decode_block_batch": B,
-            "decode_block_soundness": "corrupted lane 1 rejected",
+            "decode_block_soundness": (
+                f"corrupted lane {corrupt_lane} rejected"
+                if corrupt_lane is not None else "single-proof accept"),
             "decode_block_compile_s": round(compile_time, 1),
         }
     except Exception as e:

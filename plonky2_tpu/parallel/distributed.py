@@ -128,18 +128,28 @@ def _compiled_distributed(spec, global_batch, mesh, axis_name, mode):
 def verify_batch_distributed(spec, local_batch, mesh=None, axis_name="proof"):
     """Verify a globally-sharded proof batch; every host gets all verdicts.
 
-    Each process passes its LOCAL serde batch (same size on every host).
-    Returns (verdicts, n_accept): the full global (B_global,) bool vector
-    (identical on every host, via the all_gather collective) and the global
-    accept count (via psum).
+    Each process passes its LOCAL serde batch (the SAME size on every host
+    -- the global layout is [host0 lanes | host1 lanes | ...]).  Uneven
+    local batches are padded to the local device count with copies of lane
+    0; padding lanes are sliced out of each host's segment before
+    returning, so verdict indices match the caller's proofs.
+
+    Returns (verdicts, n_accept): the full global (B_real_global,) bool
+    vector (identical on every host, via the all_gather collective) and
+    the global accept count over the real lanes only.
     """
     mesh = mesh if mesh is not None else global_mesh(axis_name)
     n_local_dev = jax.local_device_count()
-    local_batch, _ = pad_batch(local_batch, n_local_dev)
+    local_batch, B_real = pad_batch(local_batch, n_local_dev)
     B_local = local_batch["pow_witness"].shape[0]
-    B_global = B_local * jax.process_count()
+    nproc = jax.process_count()
+    B_global = B_local * nproc
     mode = _verifier._mode_key()
     fn, _ = _compiled_distributed(spec, B_global, mesh, axis_name, mode)
     dev, obs = feed_local_batch(spec, local_batch, mesh, axis_name)
-    verdicts, n_accept = fn(dev, obs)
-    return np.asarray(verdicts), int(n_accept)
+    verdicts, _ = fn(dev, obs)
+    # drop each host's padding lanes (every host padded identically, per
+    # the same-local-size contract)
+    verdicts = np.asarray(verdicts).reshape(nproc, B_local)[:, :B_real]
+    verdicts = verdicts.reshape(-1)
+    return verdicts, int(verdicts.sum())

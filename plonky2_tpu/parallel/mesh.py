@@ -146,7 +146,7 @@ def make_mesh_2d(devices=None, shape=None, axis_names=("proof", "query")):
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled_sharded_2d(spec, batch_size, mesh, mode):
+def _compiled_sharded_2d(spec, batch_size, mesh, mode, dev_keys):
     schedule = chal.build_schedule(spec)
     n_proof = mesh.shape["proof"]
     n_query = mesh.shape["query"]
@@ -164,11 +164,12 @@ def _compiled_sharded_2d(spec, batch_size, mesh, mode):
         n_bad = jax.lax.psum((~v_local).astype(jnp.int32), "query")
         return n_bad == 0
 
+    # partition specs derived from the ACTUAL device-dict keys (single
+    # source of truth = serde/proof_to_device): only the per-query-round
+    # arrays carry the "query" axis
     qkeys = set(_query_keys(spec))
-    dev_specs = {}
-    for key in _template_keys(spec):
-        dev_specs[key] = (P("proof", "query") if key in qkeys
-                          else P("proof"))
+    dev_specs = {k: (P("proof", "query") if k in qkeys else P("proof"))
+                 for k in dev_keys}
     sharded = shard_map(
         run_shard, mesh=mesh,
         in_specs=(dev_specs, P("proof")),
@@ -177,25 +178,14 @@ def _compiled_sharded_2d(spec, batch_size, mesh, mode):
     return jax.jit(sharded), schedule
 
 
-def _template_keys(spec):
-    """Device-dict keys for a spec (serde layout, minus host-only _tovec)."""
-    keys = ["public_inputs", "op_constants", "op_plonk_sigmas", "op_wires",
-            "op_plonk_zs", "op_plonk_zs_next", "op_partial_products",
-            "op_quotient_polys", "final_poly", "pow_witness", "wires_cap",
-            "zs_pp_cap", "quotient_cap", "const_sigmas_cap",
-            "circuit_digest", "commit_caps"]
-    keys += list(_query_keys(spec))
-    return keys
-
-
 def verify_batch_sharded_2d(spec, proof_batch, mesh):
     """Verify with the proof batch AND the FRI query rounds sharded over a
     2-D ("proof", "query") mesh.  Returns (B,) bool verdicts."""
     n_proof = mesh.shape["proof"]
     proof_batch, B = pad_batch(proof_batch, n_proof)
     Bp = proof_batch["pow_witness"].shape[0]
-    fn, schedule = _compiled_sharded_2d(spec, Bp, mesh, _verifier._mode_key())
     obs = _verifier._split_u64(chal.build_observed_host(spec, proof_batch))
     dev = _verifier.proof_to_device(proof_batch)
-    dev = {k: dev[k] for k in _template_keys(spec)}
+    fn, schedule = _compiled_sharded_2d(
+        spec, Bp, mesh, _verifier._mode_key(), tuple(sorted(dev.keys())))
     return np.asarray(fn(dev, obs))[:B]

@@ -288,9 +288,14 @@ def ingest_batch(spec, raw_pairs):
     for i, (raw, vraw) in enumerate(raw_pairs):
         try:
             parsed.append(ingest_proof(spec, raw, vraw))
-        except InvalidProofError as e:
+        except (InvalidProofError, KeyError, IndexError, TypeError,
+                ValueError, OverflowError) as e:
+            # beyond InvalidProofError, malformed JSON structure surfaces
+            # as KeyError (missing field), ValueError (ragged/bad-typed
+            # array), TypeError/OverflowError (non-int values) -- all are
+            # that lane's problem, not the batch's
             parsed.append(None)
-            errors[i] = str(e)
+            errors[i] = f"{type(e).__name__}: {e}"
     valid_mask = np.asarray([p is not None for p in parsed], dtype=bool)
     if not valid_mask.any():
         raise InvalidProofError(

@@ -12,16 +12,13 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-for f in ("--xla_backend_optimization_level=1",
-          "--xla_disable_hlo_passes=fusion"):
-    if f.split("=")[0] not in flags:
-        flags = (flags + " " + f).strip()
-os.environ["XLA_FLAGS"] = flags
-os.environ["PLONKY2_TPU_HOST_MATH"] = "1"
-
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+from plonky2_tpu.utils.envflags import apply_cpu_xla_flags  # noqa: E402
+
+apply_cpu_xla_flags()
+os.environ["PLONKY2_TPU_HOST_MATH"] = "1"
 
 
 def main():
@@ -36,19 +33,12 @@ def main():
     assert jax.process_count() == nproc
     assert jax.device_count() == nproc * jax.local_device_count()
 
-    import copy
-    from plonky2_tpu.proof.spec import load_circuit_spec
     from plonky2_tpu.proof import serde
+    from plonky2_tpu.proof.fixtures import load_fixture, corrupt_wires_opening
 
-    spec = load_circuit_spec(
-        f"{ROOT}/testdata/decode_block/common_circuit_data.json")
-    with open(f"{ROOT}/testdata/decode_block/proof_with_public_inputs.json") as f:
-        raw = json.load(f)
-    with open(f"{ROOT}/testdata/decode_block/verifier_only_circuit_data.json") as f:
-        vraw = json.load(f)
+    spec, raw, vraw = load_fixture(f"{ROOT}/testdata/decode_block")
     if pid == nproc - 1:  # the last host's proof is corrupted
-        raw = copy.deepcopy(raw)
-        raw["proof"]["openings"]["wires"][0][0] ^= 1
+        raw = corrupt_wires_opening(raw)
     local = serde.stack_proofs([serde.ingest_proof(spec, raw, vraw)])
 
     mesh = dist.global_mesh()

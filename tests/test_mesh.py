@@ -12,7 +12,6 @@ import pytest
 
 import jax
 
-from plonky2_tpu.proof.spec import load_circuit_spec
 from plonky2_tpu.proof import serde
 from plonky2_tpu.proof.synthetic import make_tiny_spec, make_dummy_proof
 from plonky2_tpu.parallel import mesh as pmesh
@@ -77,19 +76,12 @@ def test_tiny_2d_mesh_proof_by_query(monkeypatch):
 def test_decode_block_2d_mesh_accepts_and_rejects():
     """Real proofs on the 2-D mesh: positive accept + exact reject
     (host-math mode; the traced equivalent is the tiny-spec default test)."""
-    import copy, json
+    from plonky2_tpu.proof.fixtures import load_fixture, corrupt_wires_opening
     os.environ["PLONKY2_TPU_HOST_MATH"] = "1"
     try:
-        spec = load_circuit_spec(
-            f"{ROOT}/testdata/decode_block/common_circuit_data.json")
-        with open(f"{ROOT}/testdata/decode_block/proof_with_public_inputs.json") as f:
-            raw = json.load(f)
-        with open(f"{ROOT}/testdata/decode_block/verifier_only_circuit_data.json") as f:
-            vraw = json.load(f)
+        spec, raw, vraw = load_fixture(f"{ROOT}/testdata/decode_block")
         good = serde.ingest_proof(spec, raw, vraw)
-        bad_raw = copy.deepcopy(raw)
-        bad_raw["proof"]["openings"]["wires"][0][0] ^= 1
-        bad = serde.ingest_proof(spec, bad_raw, vraw)
+        bad = serde.ingest_proof(spec, corrupt_wires_opening(raw), vraw)
         mesh = pmesh.make_mesh_2d(jax.devices(), (2, 4))
         batch = serde.stack_proofs([good, bad])
         verdicts = pmesh.verify_batch_sharded_2d(spec, batch, mesh)
@@ -108,16 +100,10 @@ def test_decode_block_sharded_accepts_and_rejects():
     sharded path with the tiny spec (above) and real-proof acceptance with
     the unsharded e2e tests; run `pytest -m slow tests/test_mesh.py` for
     the full cross product."""
-    spec = load_circuit_spec(f"{ROOT}/testdata/decode_block/common_circuit_data.json")
-    import copy, json
-    with open(f"{ROOT}/testdata/decode_block/proof_with_public_inputs.json") as f:
-        raw = json.load(f)
-    with open(f"{ROOT}/testdata/decode_block/verifier_only_circuit_data.json") as f:
-        vraw = json.load(f)
+    from plonky2_tpu.proof.fixtures import load_fixture, corrupt_wires_opening
+    spec, raw, vraw = load_fixture(f"{ROOT}/testdata/decode_block")
     good = serde.ingest_proof(spec, raw, vraw)
-    bad_raw = copy.deepcopy(raw)
-    bad_raw["proof"]["openings"]["wires"][0][0] ^= 1
-    bad = serde.ingest_proof(spec, bad_raw, vraw)
+    bad = serde.ingest_proof(spec, corrupt_wires_opening(raw), vraw)
 
     proofs = [good] * 8
     proofs[3] = bad

@@ -98,15 +98,23 @@ def test_ingest_batch_quarantines_malformed_proofs():
     bad_range = copy.deepcopy(raw)          # non-canonical GL element (= p)
     bad_range["proof"]["openings"]["wires"][0][0] = 18446744069414584321
 
+    bad_missing = copy.deepcopy(raw)      # missing field -> KeyError
+    del bad_missing["proof"]["openings"]["wires"]
+    bad_ragged = copy.deepcopy(raw)       # ragged array -> numpy ValueError
+    bad_ragged["proof"]["openings"]["wires"][0] = \
+        bad_ragged["proof"]["openings"]["wires"][0][:1]
+
     batch, mask, errors = serde.ingest_batch(
-        spec, [(raw, vraw), (bad_shape, vraw), (bad_range, vraw)])
-    assert mask.tolist() == [True, False, False]
-    assert sorted(errors) == [1, 2]
+        spec, [(raw, vraw), (bad_shape, vraw), (bad_range, vraw),
+               (bad_missing, vraw), (bad_ragged, vraw)])
+    assert mask.tolist() == [True, False, False, False, False]
+    assert sorted(errors) == [1, 2, 3, 4]
     assert "length mismatch" in errors[1]
     assert "non-canonical" in errors[2]
+    assert "KeyError" in errors[3]
 
     got = verifier.verify_batch(spec, batch, valid_mask=mask)
-    assert got.tolist() == [True, False, False]
+    assert got.tolist() == [True, False, False, False, False]
 
     # an all-invalid batch has no shape to run: the only case that raises
     with pytest.raises(serde.InvalidProofError):

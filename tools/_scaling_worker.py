@@ -10,15 +10,12 @@ import sys
 import time
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-for f in ("--xla_backend_optimization_level=1",
-          "--xla_disable_hlo_passes=fusion"):
-    if f.split("=")[0] not in flags:
-        flags = (flags + " " + f).strip()
-os.environ["XLA_FLAGS"] = flags
-
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+from plonky2_tpu.utils.envflags import apply_cpu_xla_flags  # noqa: E402
+
+apply_cpu_xla_flags()
 
 
 def main():

@@ -72,7 +72,21 @@ def measure_processes(proc_counts, b_local=4):
              str(b_local), out], env=env,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
             for i in range(nproc)]
-        ok = all(p.wait(timeout=900) == 0 for p in procs)
+        # wait on every worker (no short-circuit) and kill stragglers by
+        # exact handle, so a failed/hung rank can't leak orphans holding
+        # the coordinator port
+        ok = True
+        try:
+            for p in procs:
+                try:
+                    ok &= p.wait(timeout=900) == 0
+                except subprocess.TimeoutExpired:
+                    ok = False
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
         if ok and os.path.exists(out):
             with open(out) as f:
                 r = json.load(f)
@@ -101,13 +115,9 @@ def main():
             [int(x) for x in args.processes.split(",")])
 
     if not args.tpu:
-        flags = os.environ.get("XLA_FLAGS", "")
-        for f in ("--xla_force_host_platform_device_count=8",
-                  "--xla_backend_optimization_level=1",
-                  "--xla_disable_hlo_passes=fusion"):
-            if f.split("=")[0] not in flags:
-                flags = (flags + " " + f).strip()
-        os.environ["XLA_FLAGS"] = flags
+        from plonky2_tpu.utils.envflags import apply_cpu_xla_flags
+        apply_cpu_xla_flags(
+            extra=("--xla_force_host_platform_device_count=8",))
 
     import jax
     if not args.tpu:
