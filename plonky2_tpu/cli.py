@@ -53,10 +53,12 @@ def cmd_verify(args):
     with timer.stage("compile_and_verify"):
         verdicts = verifier.verify_batch(spec, batch)
     ok = bool(verdicts.all())
-    print(timer.report(
+    report = timer.report(
         circuit=args.circuit, batch=args.batch,
         device=str(jax.devices()[0]), all_valid=ok,
-        verdicts=verdicts.astype(int).tolist()))
+        verdicts=verdicts.astype(int).tolist())
+    print(report)
+    _maybe_save(args, report)
     return 0 if ok else 1
 
 
@@ -86,12 +88,20 @@ def cmd_bench(args):
         fn(dev, obs).block_until_ready()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(json.dumps({
+    report = json.dumps({
         "circuit": args.circuit, "batch": args.batch,
         "device": str(jax.devices()[0]), "compile_s": round(compile_s, 3),
         "steady_state_s": round(best, 6),
-        "proofs_per_sec": round(args.batch / best, 2)}))
+        "proofs_per_sec": round(args.batch / best, 2)})
+    print(report)
+    _maybe_save(args, report)
     return 0
+
+
+def _maybe_save(args, report_json_line):
+    if getattr(args, "out", None):
+        with open(args.out, "w") as f:
+            f.write(report_json_line.rstrip() + "\n")
 
 
 def cmd_inspect(args):
@@ -116,6 +126,10 @@ def main(argv=None):
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a device trace to DIR")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--out", default=None, metavar="FILE",
+                    help="also write the JSON report to FILE (the artifact-"
+                         "saving analog of the reference's -save flag, "
+                         "benchmark.go:137-158; no proving keys exist here)")
     args = ap.parse_args(argv)
 
     from .utils import cache as _cache
