@@ -203,3 +203,26 @@ def test_fri_pow_check_all_branches():
     assert bool(_pow_ok(pr(123), 16)[0])
     # pow_bits=0 -> every canonical value passes
     assert bool(_pow_ok(pr((1 << 63) + 5), 0)[0])
+
+
+def test_soundness_matrix_cases_structurally_valid():
+    """tools/soundness_matrix.py's corruption builder must stay ingestible:
+    every mutation is cryptographically invalid but structurally fine, so
+    the reject comes from the verdict math, not ingestion."""
+    import importlib.util
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec_ = importlib.util.spec_from_file_location(
+        "soundness_matrix", os.path.join(root, "tools/soundness_matrix.py"))
+    sm = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(sm)
+
+    from plonky2_tpu.proof import serde
+    from plonky2_tpu.proof.fixtures import load_fixture
+    spec, raw, vraw = load_fixture(f"{root}/testdata/decode_block")
+    cases = sm.build_cases(raw, vraw)
+    names = [c[0] for c in cases]
+    assert names[0] == "valid" and len(set(names)) == len(names)
+    assert len(cases) >= 20  # decode_block has no public inputs (one fewer)
+    _, mask, errors = serde.ingest_batch(spec, [(r, v) for _, r, v in cases])
+    assert mask.all(), errors
